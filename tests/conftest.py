@@ -1,0 +1,39 @@
+"""Test harness config.
+
+Tests run on the JAX CPU backend with 8 virtual devices so multi-device
+sharding is exercised without TPU hardware (SURVEY.md §4: the reference's
+``-g -1`` CPU path proves backend-agnosticism; we fake a mesh with
+``xla_force_host_platform_device_count``). Must be set before jax imports.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+from realsr_tpu.models.rrdbnet import RRDBNetSpec
+
+# Small spec: fast to execute/compile but exercises every structural element
+# (multiple RRDBs, dense concats, both upsample stages).
+TINY_SPEC = RRDBNetSpec(num_rrdb=2, num_rdb_per_rrdb=3, nf=16, gc=8, num_upsample=2)
+
+
+@pytest.fixture(scope="session")
+def tiny_model_dir(tmp_path_factory):
+    from realsr_tpu.ncnn.synth import make_model_dir
+
+    d = tmp_path_factory.mktemp("models") / "models-TINY"
+    make_model_dir(str(d), TINY_SPEC, seed=7)
+    return str(d)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
