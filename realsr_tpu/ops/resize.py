@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,12 +75,15 @@ def resize_nhwc(x: jnp.ndarray, out_h: int, out_w: int, kind: str) -> jnp.ndarra
     n, h, w, c = x.shape
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
+    # HIGHEST precision: TPU matmuls default to bf16 passes, which would
+    # cost ~7 bits of alpha-channel parity; these matrices are tiny.
+    hp = jax.lax.Precision.HIGHEST
     if out_h != h:
         my = jnp.asarray(_resize_matrix(h, out_h, kind))  # [out_h, h]
-        xf = jnp.einsum("oh,nhwc->nowc", my, xf)
+        xf = jnp.einsum("oh,nhwc->nowc", my, xf, precision=hp)
     if out_w != w:
         mx = jnp.asarray(_resize_matrix(w, out_w, kind))  # [out_w, w]
-        xf = jnp.einsum("ow,nhwc->nhoc", mx, xf)
+        xf = jnp.einsum("ow,nhwc->nhoc", mx, xf, precision=hp)
     return xf.astype(orig_dtype)
 
 

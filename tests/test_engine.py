@@ -1,0 +1,158 @@
+"""Engine tests against a reference-semantics oracle.
+
+The oracle reimplements the reference's per-tile flow directly from the
+shader/CPU-loop spec (SURVEY.md §2.7, src/realsr.cpp:145-523) in plain
+numpy + one unbatched model call per tile, and must agree with the engine's
+batched/bucketed/scattered implementation up to ±1 uint8 quantization step
+on a small fraction of pixels (see assert_u8_close).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realsr_tpu.engine import EngineConfig, RealSR
+from realsr_tpu.loader import load_model
+from realsr_tpu.ops.resize import bicubic_x4
+from realsr_tpu.ops.tta import d4_inverse, d4_transform
+from tests.conftest import TINY_SPEC
+
+
+def assert_u8_close(a: np.ndarray, b: np.ndarray, max_frac: float = 0.01):
+    """uint8 equality up to quantization jitter.
+
+    XLA fuses the engine's pre/post ops into the conv graph differently from
+    the oracle's bare forward; ±1ulp f32 drift can cross the floor(v+0.5)
+    threshold. Allow off-by-one on a small fraction of pixels, never more.
+    """
+    diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()} > 1"
+    frac = (diff != 0).mean()
+    assert frac <= max_frac, f"{frac:.2%} pixels off by one (> {max_frac:.0%})"
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_model_dir):
+    e = RealSR(gpuid=-1, config=EngineConfig(tilesize=16, storage="float32"))
+    e.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    return e
+
+
+def oracle_process(bundle, img, tilesize, pad, tta=False):
+    """Reference-semantics tiled SR in numpy (the spec, executed naively)."""
+    h, w, c = img.shape
+    s = bundle.scale
+    out = np.zeros((h * s, w * s, c), np.uint8)
+    fwd = jax.jit(bundle.forward)
+    params = bundle.params
+
+    def mirror(i, n):
+        i = abs(i)
+        return (n - 1) - abs(i - (n - 1))
+
+    ytiles = -(-h // tilesize)
+    xtiles = -(-w // tilesize)
+    for yi in range(ytiles):
+        for xi in range(xtiles):
+            hn = min((yi + 1) * tilesize, h) - yi * tilesize
+            wn = min((xi + 1) * tilesize, w) - xi * tilesize
+            ph, pw = hn + 2 * pad, wn + 2 * pad
+            tile = np.zeros((ph, pw, 3), np.float32)
+            for ty in range(ph):
+                sy = mirror(yi * tilesize - pad + ty, h)
+                for tx in range(pw):
+                    sx = mirror(xi * tilesize - pad + tx, w)
+                    tile[ty, tx] = img[sy, sx, :3]
+            tile *= 1.0 / 255.0
+            if not tta:
+                y = np.asarray(fwd(params, jnp.asarray(tile[None])))[0]
+            else:
+                acc = np.zeros((ph * s, pw * s, 3), np.float32)
+                for k in range(8):
+                    v = d4_transform(jnp.asarray(tile[None]), k)
+                    yk = fwd(params, v)
+                    acc += np.asarray(d4_inverse(yk, k))[0]
+                y = acc / 8.0
+            interior = y[pad * s : (pad + hn) * s, pad * s : (pad + wn) * s]
+            u8 = np.clip(np.floor(interior * 255.0 + 0.5), 0, 255).astype(np.uint8)
+            oy, ox = yi * tilesize * s, xi * tilesize * s
+            out[oy : oy + hn * s, ox : ox + wn * s, :3] = u8
+            if c == 4:
+                a = img[
+                    yi * tilesize : yi * tilesize + hn,
+                    xi * tilesize : xi * tilesize + wn,
+                    3:,
+                ].astype(np.float32)
+                ua = np.asarray(bicubic_x4(jnp.asarray(a[None])))[0]
+                out[oy : oy + hn * s, ox : ox + wn * s, 3] = np.clip(
+                    np.floor(ua + 0.5), 0, 255
+                ).astype(np.uint8)[..., 0]
+    return out
+
+
+def test_single_tile_image(engine, tiny_model_dir, rng):
+    img = rng.integers(0, 256, (12, 14, 3), dtype=np.uint8)
+    out = engine.process(img)
+    assert out.shape == (48, 56, 3)
+    oracle = oracle_process(engine.bundle, img, engine.tilesize, engine.prepadding)
+    assert_u8_close(out, oracle)
+
+
+def test_multi_tile_matches_oracle(engine, rng):
+    """Ragged grid: 30x26 with T=16 -> interior/right/bottom/corner buckets."""
+    img = rng.integers(0, 256, (26, 30, 3), dtype=np.uint8)
+    out = engine.process(img)
+    oracle = oracle_process(engine.bundle, img, engine.tilesize, engine.prepadding)
+    assert_u8_close(out, oracle)
+
+
+def test_alpha_channel(engine, rng):
+    img = rng.integers(0, 256, (20, 18, 4), dtype=np.uint8)
+    out = engine.process(img)
+    assert out.shape == (80, 72, 4)
+    oracle = oracle_process(engine.bundle, img, engine.tilesize, engine.prepadding)
+    assert_u8_close(out, oracle)
+
+
+def test_tta_matches_oracle(tiny_model_dir, rng):
+    e = RealSR(
+        gpuid=-1,
+        tta_mode=True,
+        config=EngineConfig(tilesize=16, storage="float32"),
+    )
+    e.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    img = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    out = e.process(img)
+    oracle = oracle_process(e.bundle, img, e.tilesize, e.prepadding, tta=True)
+    assert_u8_close(out, oracle)
+
+
+def test_tile_size_stability(engine, tiny_model_dir, rng):
+    """Different tile sizes change tile extents (and thus edge context) but
+    the overlap-cropped merge must stay visually identical — high PSNR."""
+    img = rng.integers(0, 256, (33, 31, 3), dtype=np.uint8)
+    e2 = RealSR(gpuid=-1, config=EngineConfig(tilesize=32, storage="float32"))
+    e2.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    a = engine.process(img).astype(np.float64)
+    b = e2.process(img).astype(np.float64)
+    mse = ((a - b) ** 2).mean()
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+    assert psnr > 35.0, f"tiling seams too strong: PSNR={psnr:.1f}dB"
+
+
+def test_progress_callback(engine, rng):
+    img = rng.integers(0, 256, (26, 30, 3), dtype=np.uint8)
+    fracs = []
+    engine.process(img, progress_cb=fracs.append)
+    assert fracs and fracs[-1] == pytest.approx(1.0)
+    assert all(b >= a for a, b in zip(fracs, fracs[1:]))
+
+
+def test_rejects_bad_input(engine):
+    with pytest.raises(ValueError):
+        engine.process(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        engine.process(np.zeros((4, 4, 3), dtype=np.float32))
+    with pytest.raises(RuntimeError):
+        RealSR(gpuid=-1).process(np.zeros((4, 4, 3), dtype=np.uint8))

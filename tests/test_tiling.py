@@ -1,0 +1,44 @@
+"""Tile planner tests: reference grid semantics + bucket invariants."""
+
+from realsr_tpu.tiling.planner import auto_tilesize, plan_tiles
+
+
+def test_grid_counts():
+    plan = plan_tiles(w=450, h=299, tilesize=200, prepadding=10)
+    assert plan.xtiles == 3 and plan.ytiles == 2
+    assert len(plan.tiles) == 6
+
+
+def test_tile_extents_match_reference_formula():
+    """src/realsr.cpp:178-249: nopad extents + padded = nopad + 2*pad."""
+    w, h, T, p = 450, 299, 200, 10
+    plan = plan_tiles(w, h, T, p)
+    for t in plan.tiles:
+        assert t.w_nopad == min((t.xi + 1) * T, w) - t.xi * T
+        assert t.h_nopad == min((t.yi + 1) * T, h) - t.yi * T
+        assert t.padded_shape(p) == (t.h_nopad + 2 * p, t.w_nopad + 2 * p)
+    # coverage: non-overlapping exact partition
+    assert sum(t.w_nopad * t.h_nopad for t in plan.tiles) == w * h
+
+
+def test_at_most_four_buckets():
+    for (w, h, T) in [(450, 299, 200), (1000, 1000, 64), (33, 17, 16), (5, 5, 32)]:
+        plan = plan_tiles(w, h, T, 10)
+        assert len(plan.buckets) <= 4
+        assert sum(len(v) for v in plan.buckets.values()) == len(plan.tiles)
+
+
+def test_exact_multiple_single_bucket():
+    plan = plan_tiles(w=400, h=200, tilesize=100, prepadding=10)
+    assert len(plan.buckets) == 1
+    assert list(plan.buckets) == [(120, 120)]
+
+
+def test_auto_tilesize_reference_tiers():
+    """Reference tiers (src/main.cpp:763-774) preserved below the TPU tier."""
+    assert auto_tilesize(0) == 32
+    assert auto_tilesize(200) == 64
+    assert auto_tilesize(600) == 100
+    assert auto_tilesize(2000) == 200
+    assert auto_tilesize(16000) == 400
+    assert auto_tilesize(0, is_cpu=True) == 200
