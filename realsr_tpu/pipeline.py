@@ -1,0 +1,165 @@
+"""Async host pipeline: load -> proc -> save with bounded queues.
+
+Faithful TPU-host re-implementation of the reference's 3-stage pipeline
+(src/main.cpp:117-416, 793-867):
+
+- two bounded MPMC queues of capacity 8 (backpressure bounds decoded-image
+  RAM, main.cpp:141),
+- ``jobs_load`` decode workers, per-device proc threads (``jobs_proc[i]``
+  per accelerator, 1 for a CPU device), ``jobs_save`` encode workers,
+- poison-pill shutdown with ``id == -233`` broadcast once per consumer
+  (main.cpp:843-866),
+- decode/encode failures print-and-continue (main.cpp:293-299, 405-412);
+  alpha images destined for jpg are redirected to ``<out>.png``
+  (main.cpp:279-288).
+
+Python threads work here for the same reason the reference's do: the hot
+work (codecs, XLA dispatch/compute) releases the GIL. When the native C++
+runtime is built, decode/encode run fully native (io.native).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue as _queue
+import sys
+import threading
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from realsr_tpu.io.codecs import decode_image, encode_image
+from realsr_tpu.utils.fsutils import get_file_extension
+
+QUEUE_CAPACITY = 8  # main.cpp:141
+POISON_ID = -233  # main.cpp:322
+
+
+@dataclasses.dataclass
+class Task:
+    id: int
+    inpath: str = ""
+    outpath: str = ""
+    inimage: Optional[np.ndarray] = None
+    outimage: Optional[np.ndarray] = None
+
+
+class TaskQueue:
+    """Bounded blocking MPMC queue (main.cpp:130-174 semantics)."""
+
+    def __init__(self, capacity: int = QUEUE_CAPACITY):
+        self._q: _queue.Queue = _queue.Queue(maxsize=capacity)
+
+    def put(self, task: Task) -> None:
+        self._q.put(task)
+
+    def get(self) -> Task:
+        return self._q.get()
+
+
+def load_worker(
+    files: Sequence[tuple],
+    toproc: TaskQueue,
+    scale: int,
+) -> None:
+    """Decode a slice of the file list and enqueue tasks (main.cpp:190-303)."""
+    for i, inpath, outpath in files:
+        img = decode_image(inpath)
+        if img is None:
+            print(f"decode image {inpath} failed", file=sys.stderr)
+            continue
+        t = Task(id=i, inpath=inpath, outpath=outpath, inimage=img)
+        ext = get_file_extension(outpath).lower()
+        if img.shape[2] == 4 and ext in ("jpg", "jpeg"):
+            t.outpath = outpath + ".png"
+            print(
+                f"image {inpath} has alpha channel ! {inpath} will output "
+                f"{t.outpath}",
+                file=sys.stderr,
+            )
+        toproc.put(t)
+
+
+def proc_worker(engine, toproc: TaskQueue, tosave: TaskQueue, progress: bool) -> None:
+    """Pop task, run the engine, push to save (main.cpp:311-331)."""
+    while True:
+        t = toproc.get()
+        if t.id == POISON_ID:
+            break
+        cb = None
+        if progress:
+            def cb(frac, _t=t):  # per-tile % like realsr.cpp:481
+                print(f"{frac * 100.0:.2f}%", file=sys.stderr)
+        t.outimage = engine.process(t.inimage, progress_cb=cb)
+        t.inimage = None  # free decoded input (save stage frees in reference)
+        tosave.put(t)
+
+
+def save_worker(tosave: TaskQueue, verbose: bool) -> None:
+    """Pop result, encode by extension (main.cpp:339-416)."""
+    while True:
+        t = tosave.get()
+        if t.id == POISON_ID:
+            break
+        ok = encode_image(t.outpath, t.outimage)
+        if ok:
+            if verbose:
+                print(f"{t.inpath} -> {t.outpath} done", file=sys.stderr)
+        else:
+            print(f"encode image {t.outpath} failed", file=sys.stderr)
+
+
+def run_pipeline(
+    input_files: Sequence[str],
+    output_files: Sequence[str],
+    engines: Sequence,  # one per device, like one RealSR per GPU (main.cpp:778)
+    jobs_proc: Sequence[int],
+    jobs_load: int = 1,
+    jobs_save: int = 2,
+    verbose: bool = False,
+    progress: bool = True,
+) -> None:
+    toproc = TaskQueue()
+    tosave = TaskQueue()
+
+    # load: jobs_load workers over a static partition (OpenMP schedule(static,1)
+    # round-robin, main.cpp:196)
+    items = list(zip(range(len(input_files)), input_files, output_files))
+    load_threads = []
+    n_load = max(1, min(jobs_load, len(items))) if items else 0
+    for k in range(n_load):
+        chunk = items[k::n_load]
+        th = threading.Thread(
+            target=load_worker, args=(chunk, toproc, engines[0].scale)
+        )
+        th.start()
+        load_threads.append(th)
+
+    # proc: jobs_proc[i] threads for accelerator devices, 1 for CPU
+    # (main.cpp:814-827)
+    proc_threads = []
+    for engine, n in zip(engines, jobs_proc):
+        count = 1 if engine.device.platform == "cpu" else n
+        for _ in range(count):
+            th = threading.Thread(
+                target=proc_worker, args=(engine, toproc, tosave, progress)
+            )
+            th.start()
+            proc_threads.append(th)
+
+    save_threads = []
+    for _ in range(max(1, jobs_save)):
+        th = threading.Thread(target=save_worker, args=(tosave, verbose))
+        th.start()
+        save_threads.append(th)
+
+    for th in load_threads:
+        th.join()
+    for _ in proc_threads:
+        toproc.put(Task(id=POISON_ID))
+    for th in proc_threads:
+        th.join()
+    for _ in save_threads:
+        tosave.put(Task(id=POISON_ID))
+    for th in save_threads:
+        th.join()

@@ -1,0 +1,153 @@
+"""CLI tests: flag surface, validation exit codes, end-to-end runs.
+
+Runs the CLI in-process (arg handling) and as a subprocess (end-to-end),
+matching the reference's behaviors at src/main.cpp:419-673.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from realsr_tpu.cli import main, parse_int_array, parse_jobs
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "realsr_tpu", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=REPO,
+    )
+
+
+# ---- pure arg parsing ---------------------------------------------------
+
+
+def test_parse_int_array():
+    assert parse_int_array("0,0,0") == [0, 0, 0]
+    assert parse_int_array("-1") == [-1]
+    assert parse_int_array("2:2") == [2]  # atoi semantics
+
+
+def test_parse_jobs():
+    assert parse_jobs("1:2:2") == (1, [2], 2)
+    assert parse_jobs("1:2,2,2:4") == (1, [2, 2, 2], 4)
+
+
+def test_missing_args_prints_usage(capsys):
+    assert main([]) == -1
+    assert "Usage:" in capsys.readouterr().err
+
+
+def test_invalid_scale(capsys):
+    assert main(["-i", "a.png", "-o", "b.png", "-s", "2"]) == -1
+    assert "invalid scale argument" in capsys.readouterr().err
+
+
+def test_invalid_tilesize(capsys):
+    assert main(["-i", "a.png", "-o", "b.png", "-t", "16"]) == -1
+    assert "invalid tilesize argument" in capsys.readouterr().err
+
+
+def test_tilesize_gpu_mismatch(capsys):
+    assert main(["-i", "a", "-o", "b.png", "-t", "0,0", "-g", "0"]) == -1
+    assert "invalid tilesize argument" in capsys.readouterr().err
+
+
+def test_invalid_output_ext(capsys):
+    assert main(["-i", "a.png", "-o", "b.tiff"]) == -1
+    assert "invalid outputpath extension type" in capsys.readouterr().err
+
+
+def test_unknown_model_dir(capsys, tmp_path):
+    src = tmp_path / "in.png"
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(src)
+    assert main(["-i", str(src), "-o", str(tmp_path / "o.png"), "-m", "models-XYZ"]) == -1
+    assert "unknown model dir type" in capsys.readouterr().err
+
+
+def test_mixed_file_dir(capsys, tmp_path):
+    src = tmp_path / "in.png"
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(src)
+    assert main(["-i", str(src), "-o", str(tmp_path)]) == -1
+    assert "must be either file or directory" in capsys.readouterr().err
+
+
+def test_invalid_jobs(capsys):
+    assert main(["-i", "a.png", "-o", "b.png", "-j", "0:2:2"]) == -1
+    assert "invalid thread count argument" in capsys.readouterr().err
+
+
+# ---- end-to-end (subprocess, CPU backend, tiny synth model) -------------
+
+
+@pytest.fixture(scope="module")
+def cli_model_dir(tmp_path_factory):
+    from realsr_tpu.ncnn.synth import make_model_dir
+    from tests.conftest import TINY_SPEC
+
+    d = tmp_path_factory.mktemp("climodels") / "models-DF2K"
+    make_model_dir(str(d), TINY_SPEC, seed=5)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def img_dir(tmp_path_factory):
+    rng = np.random.default_rng(9)
+    d = tmp_path_factory.mktemp("imgs")
+    for name, shape in [("a.png", (17, 23, 3)), ("b.png", (8, 9, 3))]:
+        Image.fromarray(rng.integers(0, 256, shape, np.uint8)).save(d / name)
+    Image.fromarray(rng.integers(0, 256, (10, 11, 4), np.uint8)).save(d / "c.png")
+    return str(d)
+
+
+def test_single_file_e2e(cli_model_dir, img_dir, tmp_path):
+    out = tmp_path / "out.png"
+    r = run_cli(
+        ["-i", f"{img_dir}/a.png", "-o", str(out), "-m", cli_model_dir, "-g", "-1", "-v"]
+    )
+    assert r.returncode == 0, r.stderr
+    assert "done" in r.stderr
+    arr = np.asarray(Image.open(out))
+    assert arr.shape == (68, 92, 3)
+
+
+def test_directory_e2e_with_alpha_and_formats(cli_model_dir, img_dir, tmp_path):
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    r = run_cli(
+        ["-i", img_dir, "-o", str(outdir), "-m", cli_model_dir, "-g", "-1",
+         "-f", "webp", "-j", "2:2:2"]
+    )
+    assert r.returncode == 0, r.stderr
+    names = sorted(os.listdir(outdir))
+    assert names == ["a.webp", "b.webp", "c.webp"]
+    arr = np.asarray(Image.open(outdir / "c.webp"))
+    assert arr.shape == (40, 44, 4)  # alpha survives lossless webp
+
+
+def test_alpha_jpg_redirect(cli_model_dir, img_dir, tmp_path):
+    out = tmp_path / "out.jpg"
+    r = run_cli(
+        ["-i", f"{img_dir}/c.png", "-o", str(out), "-m", cli_model_dir, "-g", "-1"]
+    )
+    assert r.returncode == 0, r.stderr
+    assert "has alpha channel" in r.stderr
+    assert os.path.exists(str(out) + ".png")  # main.cpp:279-288 semantics
+
+
+def test_usage_exit_code(cli_model_dir):
+    r = run_cli(["-h"])
+    assert r.returncode == 255
+    assert "Usage:" in r.stderr
