@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Benchmark: 4x upscale throughput on one chip (BASELINE.json metric).
+
+Protocol (BASELINE.md): full 23-block DF2K RRDBNet (real x4.param graph,
+synthetic weights — upstream ships none), fixed input, default/auto tile
+size, engine end-to-end (decode->device->tiled SR->uint8 merge->host),
+wall-clock OUTPUT megapixels/sec.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+denominator is the north-star target from BASELINE.json: 5x an RTX 3090's
+ncnn-Vulkan throughput. The 3090 figure is derived, not measured (no GPU
+here): 35.8 MFLOP per input pixel (16.7M MAC/px at 1x + upsampler, x2) at
+~15% effective utilization of 35.6 fp32 TFLOPS (ncnn runs fp16-storage/
+fp32-arith, realsr.cpp:45-46) ~= 0.15 input MP/s = 2.39 output MP/s.
+North star = 5 x 2.39 = 11.9 output MP/s/chip. vs_baseline = value / 11.9
+(>= 1.0 means north star met).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NORTH_STAR_OUT_MPS = 11.9
+
+
+def main() -> int:
+    import numpy as np
+
+    from realsr_tpu.engine import EngineConfig, RealSR
+    from realsr_tpu.models.rrdbnet import RRDBNetSpec
+    from realsr_tpu.ncnn.bin import write_weights
+    from realsr_tpu.ncnn.param import parse_param_file, parse_param
+    from realsr_tpu.ncnn.synth import make_rrdbnet_param_text, synth_weights
+
+    # model files (cached)
+    mdir = os.environ.get("REALSR_BENCH_MODEL", "/tmp/realsr_bench/models-DF2K")
+    os.makedirs(mdir, exist_ok=True)
+    param_path = os.path.join(mdir, "x4.param")
+    bin_path = os.path.join(mdir, "x4.bin")
+    if not os.path.exists(bin_path):
+        ref = "/root/reference/models/models-DF2K/x4.param"
+        if os.path.exists(ref):
+            import shutil
+
+            shutil.copyfile(ref, param_path)
+        else:
+            with open(param_path, "w") as f:
+                f.write(make_rrdbnet_param_text(RRDBNetSpec()))
+        graph = parse_param_file(param_path)
+        write_weights(graph, synth_weights(graph, seed=0), bin_path)
+
+    size = int(os.environ.get("REALSR_BENCH_SIZE", "1024"))
+    reps = int(os.environ.get("REALSR_BENCH_REPS", "3"))
+    tilesize = int(os.environ.get("REALSR_BENCH_TILE", "0"))
+
+    eng = RealSR(gpuid=0, config=EngineConfig(tilesize=tilesize))
+    eng.load(param_path, bin_path)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+
+    eng.process(img)  # warmup + compile
+    # Steady-state throughput: overlap image k's D2H fetch with image
+    # k+1's compute, exactly as the pipeline's save stage does.
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(eng.fetch, eng.process_device(img)) for _ in range(reps)]
+        out = [f.result() for f in futs][-1]
+    dt = (time.perf_counter() - t0) / reps
+
+    out_mp = out.shape[0] * out.shape[1] / 1e6
+    mps = out_mp / dt
+    print(
+        json.dumps(
+            {
+                "metric": "4x upscale output megapixels/sec/chip (DF2K, "
+                f"tile={eng.tilesize}, {size}x{size} input, "
+                f"{str(eng.storage_dtype.__name__)})",
+                "value": round(mps, 3),
+                "unit": "MP/s",
+                "vs_baseline": round(mps / NORTH_STAR_OUT_MPS, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,467 @@
+// realsr-tpu — native CLI binary.
+//
+// The host runtime of the reference is C++ (src/main.cpp: getopt CLI,
+// bounded MPMC task queues, load/proc/save thread pools, codecs); this is
+// its TPU-framework counterpart. Everything host-side runs native: flag
+// parsing/validation (identical surface: -i -o -s -t -m -g -j -x -f -v -h),
+// directory listing with collision rename, capacity-8 queues with poison
+// pill -233, decode/encode via librealsr_io (libpng/libjpeg/libwebp). The
+// device work goes through one embedded CPython call per image into
+// realsr_tpu.native_bridge, which drives the JAX/XLA engine.
+
+#include <Python.h>
+
+#include <algorithm>
+#include <condition_variable>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <dirent.h>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <sys/stat.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+extern "C" {
+unsigned char* rsio_decode(const char* path, int* w, int* h, int* c);
+void rsio_free(unsigned char* p);
+int rsio_encode(const char* path, int w, int h, int c,
+                const unsigned char* pixels, const char* ext);
+}
+
+namespace {
+
+void print_usage() {
+  std::fprintf(stderr,
+               "Usage: realsr-tpu -i infile -o outfile [options]...\n\n");
+  std::fprintf(stderr, "  -h                   show this help\n");
+  std::fprintf(stderr, "  -v                   verbose output\n");
+  std::fprintf(stderr,
+               "  -i input-path        input image path (jpg/png/webp) or directory\n");
+  std::fprintf(stderr,
+               "  -o output-path       output image path (jpg/png/webp) or directory\n");
+  std::fprintf(stderr, "  -s scale             upscale ratio (4, default=4)\n");
+  std::fprintf(stderr,
+               "  -t tile-size         tile size (>=32/0=auto, default=0) can be 0,0,0 for multi-gpu\n");
+  std::fprintf(stderr,
+               "  -m model-path        realsr model path (default=models-DF2K_JPEG)\n");
+  std::fprintf(stderr,
+               "  -g gpu-id            gpu device to use (-1=cpu, default=auto) can be 0,1,2 for multi-gpu\n");
+  std::fprintf(stderr,
+               "  -j load:proc:save    thread count for load/proc/save (default=1:2:2) can be 1:2,2,2:2 for multi-gpu\n");
+  std::fprintf(stderr, "  -x                   enable tta mode\n");
+  std::fprintf(stderr,
+               "  -f format            output image format (jpg/png/webp, default=ext/png)\n");
+}
+
+std::vector<int> parse_int_array(const char* s) {
+  std::vector<int> out;
+  std::string tok;
+  for (const char* p = s;; p++) {
+    if (*p == ',' || *p == '\0') {
+      out.push_back(std::atoi(tok.c_str()));
+      tok.clear();
+      if (*p == '\0') break;
+    } else {
+      tok.push_back(*p);
+    }
+  }
+  return out;
+}
+
+bool path_is_directory(const std::string& p) {
+  struct stat st;
+  return stat(p.c_str(), &st) == 0 && S_ISDIR(st.st_mode);
+}
+
+bool path_exists(const std::string& p) {
+  struct stat st;
+  return stat(p.c_str(), &st) == 0;
+}
+
+std::string file_extension(const std::string& p) {
+  size_t slash = p.find_last_of('/');
+  std::string base = slash == std::string::npos ? p : p.substr(slash + 1);
+  size_t dot = base.find_last_of('.');
+  return dot == std::string::npos ? "" : base.substr(dot + 1);
+}
+
+std::string lower(std::string s) {
+  for (auto& c : s) c = static_cast<char>(std::tolower(c));
+  return s;
+}
+
+std::string name_without_ext(const std::string& name) {
+  size_t dot = name.find_last_of('.');
+  return dot == std::string::npos ? name : name.substr(0, dot);
+}
+
+std::vector<std::string> list_directory(const std::string& path) {
+  std::vector<std::string> names;
+  DIR* d = opendir(path.c_str());
+  if (!d) return names;
+  while (dirent* e = readdir(d)) {
+    std::string n = e->d_name;
+    if (n == "." || n == "..") continue;
+    if (!path_is_directory(path + "/" + n)) names.push_back(n);
+  }
+  closedir(d);
+  std::sort(names.begin(), names.end());
+  return names;
+}
+
+// ---- bounded MPMC queue (main.cpp:130-174 semantics) --------------------
+
+struct Task {
+  int id = 0;
+  std::string inpath, outpath;
+  unsigned char* pixels = nullptr;  // owned
+  int w = 0, h = 0, c = 0;
+  std::vector<unsigned char> out;   // scaled result
+  int ow = 0, oh = 0;
+};
+
+class TaskQueue {
+ public:
+  void put(Task v) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_put_.wait(lk, [&] { return q_.size() < 8; });  // capacity 8
+    q_.push(std::move(v));
+    cv_get_.notify_one();
+  }
+  Task get() {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_get_.wait(lk, [&] { return !q_.empty(); });
+    Task v = std::move(q_.front());
+    q_.pop();
+    cv_put_.notify_one();
+    return v;
+  }
+
+ private:
+  std::mutex mu_;
+  std::condition_variable cv_get_, cv_put_;
+  std::queue<Task> q_;
+};
+
+constexpr int kPoison = -233;  // main.cpp:322
+
+TaskQueue toproc, tosave;
+
+// ---- embedded python bridge ---------------------------------------------
+
+PyObject* g_bridge = nullptr;
+
+bool bridge_init(const std::string& config_json, int* scale) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  bool ok = false;
+  PyObject* mod = PyImport_ImportModule("realsr_tpu.native_bridge");
+  if (mod) {
+    PyObject* r = PyObject_CallMethod(mod, "init", "s", config_json.c_str());
+    if (r) {
+      *scale = static_cast<int>(PyLong_AsLong(r));
+      Py_DECREF(r);
+      g_bridge = mod;
+      ok = true;
+    } else {
+      PyErr_Print();
+      Py_DECREF(mod);
+    }
+  } else {
+    PyErr_Print();
+  }
+  PyGILState_Release(g);
+  return ok;
+}
+
+bool bridge_process(int engine_idx, Task& t, int scale) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  bool ok = false;
+  PyObject* buf = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(t.pixels),
+      static_cast<Py_ssize_t>(t.w) * t.h * t.c);
+  if (buf) {
+    PyObject* r = PyObject_CallMethod(g_bridge, "process", "iOiii",
+                                      engine_idx, buf, t.w, t.h, t.c);
+    Py_DECREF(buf);
+    if (r) {
+      char* data;
+      Py_ssize_t len;
+      if (PyBytes_AsStringAndSize(r, &data, &len) == 0) {
+        t.out.assign(data, data + len);
+        t.ow = t.w * scale;
+        t.oh = t.h * scale;
+        ok = true;
+      }
+      Py_DECREF(r);
+    } else {
+      PyErr_Print();
+    }
+  }
+  PyGILState_Release(g);
+  return ok;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string inputpath, outputpath;
+  int scale = 4;
+  std::vector<int> tilesize;
+  std::string model = "models-DF2K_JPEG";
+  std::vector<int> gpuid;
+  int jobs_load = 1, jobs_save = 2;
+  std::vector<int> jobs_proc;
+  int verbose = 0, tta_mode = 0;
+  std::string format = "png";
+
+  int opt;
+  while ((opt = getopt(argc, argv, "i:o:s:t:m:g:j:f:vxh")) != -1) {
+    switch (opt) {
+      case 'i': inputpath = optarg; break;
+      case 'o': outputpath = optarg; break;
+      case 's': scale = std::atoi(optarg); break;
+      case 't': tilesize = parse_int_array(optarg); break;
+      case 'm': model = optarg; break;
+      case 'g': gpuid = parse_int_array(optarg); break;
+      case 'j': {
+        std::sscanf(optarg, "%d:%*[^:]:%d", &jobs_load, &jobs_save);
+        const char* colon = std::strchr(optarg, ':');
+        if (colon) jobs_proc = parse_int_array(colon + 1);
+        break;
+      }
+      case 'f': format = optarg; break;
+      case 'v': verbose = 1; break;
+      case 'x': tta_mode = 1; break;
+      case 'h':
+      default:
+        print_usage();
+        return -1;
+    }
+  }
+
+  if (inputpath.empty() || outputpath.empty()) {
+    print_usage();
+    return -1;
+  }
+  if (scale != 4) {
+    std::fprintf(stderr, "invalid scale argument\n");
+    return -1;
+  }
+  size_t n_dev = gpuid.empty() ? 1 : gpuid.size();
+  if (!tilesize.empty() && tilesize.size() != n_dev) {
+    std::fprintf(stderr, "invalid tilesize argument\n");
+    return -1;
+  }
+  for (int t : tilesize)
+    if (t != 0 && t < 32) {
+      std::fprintf(stderr, "invalid tilesize argument\n");
+      return -1;
+    }
+  if (jobs_load < 1 || jobs_save < 1) {
+    std::fprintf(stderr, "invalid thread count argument\n");
+    return -1;
+  }
+  if (!jobs_proc.empty() && jobs_proc.size() != n_dev) {
+    std::fprintf(stderr, "invalid jobs_proc thread count argument\n");
+    return -1;
+  }
+  for (int j : jobs_proc)
+    if (j < 1) {
+      std::fprintf(stderr, "invalid jobs_proc thread count argument\n");
+      return -1;
+    }
+
+  if (!path_is_directory(outputpath)) {
+    std::string ext = lower(file_extension(outputpath));
+    if (ext == "png") format = "png";
+    else if (ext == "webp") format = "webp";
+    else if (ext == "jpg" || ext == "jpeg") format = "jpg";
+    else {
+      std::fprintf(stderr, "invalid outputpath extension type\n");
+      return -1;
+    }
+  }
+  if (format != "png" && format != "webp" && format != "jpg") {
+    std::fprintf(stderr, "invalid format argument\n");
+    return -1;
+  }
+
+  std::vector<std::string> input_files, output_files;
+  if (path_is_directory(inputpath) && path_is_directory(outputpath)) {
+    std::string last_fn, last_noext;
+    for (const std::string& fn : list_directory(inputpath)) {
+      std::string noext = name_without_ext(fn);
+      std::string out_fn = noext + "." + format;
+      if (noext == last_noext) {  // collision rename (main.cpp:628-643)
+        std::string out2 = fn + "." + format;
+        std::fprintf(stderr, "both %s and %s output %s ! %s will output %s\n",
+                     fn.c_str(), last_fn.c_str(), out_fn.c_str(), fn.c_str(),
+                     out2.c_str());
+        out_fn = out2;
+      } else {
+        last_fn = fn;
+        last_noext = noext;
+      }
+      input_files.push_back(inputpath + "/" + fn);
+      output_files.push_back(outputpath + "/" + out_fn);
+    }
+  } else if (!path_is_directory(inputpath) && !path_is_directory(outputpath)) {
+    input_files.push_back(inputpath);
+    output_files.push_back(outputpath);
+  } else {
+    std::fprintf(stderr,
+                 "inputpath and outputpath must be either file or directory "
+                 "at the same time\n");
+    return -1;
+  }
+
+  int prepadding = 0;
+  if (model.find("models-DF2K") != std::string::npos) {
+    prepadding = 10;  // main.cpp:661-667
+  } else {
+    std::fprintf(stderr, "unknown model dir type\n");
+    return -1;
+  }
+
+  char parampath[512], modelpath[512];
+  std::snprintf(parampath, sizeof(parampath), "%s/x%d.param", model.c_str(), scale);
+  std::snprintf(modelpath, sizeof(modelpath), "%s/x%d.bin", model.c_str(), scale);
+  if (!path_exists(parampath) || !path_exists(modelpath)) {
+    std::fprintf(stderr, "model files not found: %s / %s\n", parampath,
+                 modelpath);
+    return -1;
+  }
+
+  if (gpuid.empty()) gpuid.push_back(0);
+  if (jobs_proc.empty()) jobs_proc.assign(gpuid.size(), 2);
+  if (tilesize.empty()) tilesize.assign(gpuid.size(), 0);
+
+  bool all_cpu = true;
+  for (int g : gpuid) all_cpu = all_cpu && g == -1;
+  if (all_cpu) setenv("JAX_PLATFORMS", "cpu", 1);
+
+  // ---- embedded python ---------------------------------------------------
+  Py_Initialize();
+  {
+    // config as JSON (hand-rolled; ints/bools/strings only)
+    std::string cfg = "{\"gpuid\":[";
+    for (size_t i = 0; i < gpuid.size(); i++)
+      cfg += (i ? "," : "") + std::to_string(gpuid[i]);
+    cfg += "],\"tilesize\":[";
+    for (size_t i = 0; i < tilesize.size(); i++)
+      cfg += (i ? "," : "") + std::to_string(tilesize[i]);
+    cfg += "],\"jobs_proc\":[";
+    for (size_t i = 0; i < jobs_proc.size(); i++)
+      cfg += (i ? "," : "") + std::to_string(jobs_proc[i]);
+    cfg += "],\"prepadding\":" + std::to_string(prepadding);
+    cfg += std::string(",\"tta_mode\":") + (tta_mode ? "true" : "false");
+    cfg += ",\"parampath\":\"" + std::string(parampath) + "\"";
+    cfg += ",\"modelpath\":\"" + std::string(modelpath) + "\"}";
+    int model_scale = 0;
+    if (!bridge_init(cfg, &model_scale)) {
+      std::fprintf(stderr, "engine init failed\n");
+      Py_Finalize();
+      return -1;
+    }
+    if (model_scale != scale) {
+      std::fprintf(stderr, "model scale %d != requested %d\n", model_scale,
+                   scale);
+      Py_Finalize();
+      return -1;
+    }
+  }
+  PyThreadState* main_state = PyEval_SaveThread();  // release GIL for workers
+
+  // ---- pipeline ----------------------------------------------------------
+  int cpu_count = std::max(1u, std::thread::hardware_concurrency());
+  jobs_load = std::min(jobs_load, cpu_count);
+  jobs_save = std::min(jobs_save, cpu_count);
+
+  std::vector<std::thread> loaders;
+  for (int k = 0; k < jobs_load; k++) {
+    loaders.emplace_back([&, k] {
+      for (size_t i = k; i < input_files.size(); i += jobs_load) {
+        Task t;
+        t.id = static_cast<int>(i);
+        t.inpath = input_files[i];
+        t.outpath = output_files[i];
+        t.pixels = rsio_decode(t.inpath.c_str(), &t.w, &t.h, &t.c);
+        if (!t.pixels) {
+          std::fprintf(stderr, "decode image %s failed\n", t.inpath.c_str());
+          continue;
+        }
+        std::string ext = lower(file_extension(t.outpath));
+        if (t.c == 4 && (ext == "jpg" || ext == "jpeg")) {
+          std::string redirected = t.outpath + ".png";
+          std::fprintf(stderr,
+                       "image %s has alpha channel ! %s will output %s\n",
+                       t.inpath.c_str(), t.inpath.c_str(), redirected.c_str());
+          t.outpath = redirected;
+        }
+        toproc.put(std::move(t));
+      }
+    });
+  }
+
+  int total_proc = 0;
+  std::vector<std::thread> procs;
+  for (size_t d = 0; d < gpuid.size(); d++) {
+    int nthreads = gpuid[d] == -1 ? 1 : jobs_proc[d];
+    for (int j = 0; j < nthreads; j++) {
+      total_proc++;
+      procs.emplace_back([&, d] {
+        for (;;) {
+          Task t = toproc.get();
+          if (t.id == kPoison) break;
+          bool ok = bridge_process(static_cast<int>(d), t, scale);
+          rsio_free(t.pixels);
+          t.pixels = nullptr;
+          if (ok) tosave.put(std::move(t));
+          else std::fprintf(stderr, "process %s failed\n", t.inpath.c_str());
+        }
+      });
+    }
+  }
+
+  std::vector<std::thread> savers;
+  for (int k = 0; k < jobs_save; k++) {
+    savers.emplace_back([&] {
+      for (;;) {
+        Task t = tosave.get();
+        if (t.id == kPoison) break;
+        std::string ext = lower(file_extension(t.outpath));
+        int ok = rsio_encode(t.outpath.c_str(), t.ow, t.oh, t.c,
+                             t.out.data(), ext.c_str());
+        if (ok) {
+          if (verbose)
+            std::fprintf(stderr, "%s -> %s done\n", t.inpath.c_str(),
+                         t.outpath.c_str());
+        } else {
+          std::fprintf(stderr, "encode image %s failed\n", t.outpath.c_str());
+        }
+      }
+    });
+  }
+
+  for (auto& th : loaders) th.join();
+  for (int i = 0; i < total_proc; i++) {
+    Task end;
+    end.id = kPoison;
+    toproc.put(std::move(end));
+  }
+  for (auto& th : procs) th.join();
+  for (int i = 0; i < jobs_save; i++) {
+    Task end;
+    end.id = kPoison;
+    tosave.put(std::move(end));
+  }
+  for (auto& th : savers) th.join();
+
+  PyEval_RestoreThread(main_state);
+  Py_Finalize();
+  return 0;
+}

@@ -36,7 +36,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from realsr_tpu.loader import ModelBundle, load_model
+from realsr_tpu.parallel.mesh import TILE_AXIS, replicated, tile_sharded
 from realsr_tpu.ops.pad import reflect101_pad2d
 from realsr_tpu.ops.resize import bicubic_x4, resize_nhwc
 from realsr_tpu.ops.tta import NUM_TRANSFORMS, d4_inverse, d4_transform
@@ -86,9 +89,17 @@ class RealSR:
         num_threads: int = 1,
         config: Optional[EngineConfig] = None,
         device=None,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh — shard each image's tile
+        batch across it (TPU-native multi-chip mode; the reference's
+        multi-GPU mode of independent per-device engines lives in the
+        pipeline layer instead, src/main.cpp:778-791)."""
         self.config = config or EngineConfig()
-        if device is not None:
+        self.mesh = mesh
+        if mesh is not None:
+            self.device = list(np.asarray(mesh.devices).flat)[0]
+        elif device is not None:
             self.device = device
         elif gpuid == -1:
             self.device = jax.devices("cpu")[0]
@@ -132,7 +143,8 @@ class RealSR:
         self.storage_dtype = dtype
         self.bundle = load_model(parampath, modelpath, storage_dtype=dtype)
         self.scale = self.bundle.scale
-        self._params = jax.device_put(self.bundle.params, self.device)
+        where = replicated(self.mesh) if self.mesh is not None else self.device
+        self._params = jax.device_put(self.bundle.params, where)
         self._build_jits()
         return 0
 
@@ -142,50 +154,31 @@ class RealSR:
         pad = self.prepadding
         dtype = self.storage_dtype
 
-        @functools.partial(jax.jit, static_argnames=("pad_",))
         def prep(img_u8, pad_):
             """u8 HWC -> (reflect-padded normalized storage [H+2p,W+2p,3],
-            raw-valued f32 alpha [H,W] or zero-size)."""
+            raw-valued f32 alpha [H,W,1|0])."""
             color = img_u8[..., :3].astype(jnp.float32) * (1.0 / 255.0)
             padded = reflect101_pad2d(color.astype(dtype), pad_)
             alpha = img_u8[..., 3:].astype(jnp.float32)  # empty if C==3
             return padded, alpha
 
-        @functools.partial(
-            jax.jit, static_argnames=("ph", "pw", "hn", "wn", "tta")
-        )
-        def run_bucket(params, padded, xs, ys, *, ph, pw, hn, wn, tta):
-            """Batched tile forward: extract [B,ph,pw,3] -> u8 [B,hn*s,wn*s,3].
-
-            xs/ys are the tiles' UNPADDED input origins; in padded-image
-            coords the halo start is exactly (ys, xs) (planner docstring).
-            """
-
-            def extract(x0, y0):
-                return jax.lax.dynamic_slice(padded, (y0, x0, 0), (ph, pw, 3))
-
-            tiles = jax.vmap(extract)(xs, ys)  # [B, ph, pw, 3] storage
+        def tile_color(tiles, ph, pw, hn, wn, tta):
+            """[B,ph,pw,3] storage -> u8 [B,hn*s,wn*s,3] (forward + TTA +
+            halo crop + reference rounding)."""
             if not tta:
-                out = forward(params, tiles)  # f32 [B, ph*s, pw*s, 3]
+                out = forward(self._params, tiles)  # f32 [B, ph*s, pw*s, 3]
             else:
-                groups: List[jnp.ndarray] = []
-                square = ph == pw
-                if square:
+                if ph == pw:
                     batch = jnp.concatenate(
                         [d4_transform(tiles, k) for k in range(NUM_TRANSFORMS)]
                     )
-                    y_all = forward(params, batch)
-                    groups = list(jnp.split(y_all, NUM_TRANSFORMS))
+                    groups = list(jnp.split(forward(self._params, batch), NUM_TRANSFORMS))
                 else:
-                    b0 = jnp.concatenate(
-                        [d4_transform(tiles, k) for k in range(4)]
+                    b0 = jnp.concatenate([d4_transform(tiles, k) for k in range(4)])
+                    b1 = jnp.concatenate([d4_transform(tiles, k) for k in range(4, 8)])
+                    groups = list(jnp.split(forward(self._params, b0), 4)) + list(
+                        jnp.split(forward(self._params, b1), 4)
                     )
-                    b1 = jnp.concatenate(
-                        [d4_transform(tiles, k) for k in range(4, 8)]
-                    )
-                    y0 = forward(params, b0)
-                    y1 = forward(params, b1)
-                    groups = list(jnp.split(y0, 4)) + list(jnp.split(y1, 4))
                 acc = None
                 for k, g in enumerate(groups):
                     v = d4_inverse(g, k).astype(jnp.float32)
@@ -200,50 +193,87 @@ class RealSR:
             ]
             return _round_u8(out)
 
-        @functools.partial(jax.jit, static_argnames=("hn", "wn"))
-        def alpha_bucket(alpha, xs, ys, *, hn, wn):
-            """Alpha tiles: unpadded slice -> bicubic x{scale} -> u8.
+        def run_bucket(padded, alpha, out_buf, xs, ys, ph, pw, hn, wn, tta, with_alpha):
+            """ONE dispatch per bucket: lax.scan over [nc, B] tile-origin
+            chunks; each iteration extracts a batch, runs the net, rounds to
+            uint8 and scatters into the carried output buffer. Replaces the
+            reference's per-tile dispatch + submit_and_wait loop
+            (src/realsr.cpp:235-482) with a single device-resident program —
+            host round-trips per image drop to O(buckets).
 
-            Alpha stays in raw 0..255 through resize (preproc.comp:79-88
-            writes it unnormalized), rounded with the same +0.5 floor."""
+            xs/ys are the tiles' UNPADDED input origins; in padded-image
+            coords the halo start is exactly (ys, xs) (planner docstring).
+            """
 
             def extract(x0, y0):
+                return jax.lax.dynamic_slice(padded, (y0, x0, 0), (ph, pw, 3))
+
+            def extract_alpha(x0, y0):
                 return jax.lax.dynamic_slice(alpha, (y0, x0, 0), (hn, wn, 1))
 
-            tiles = jax.vmap(extract)(xs, ys)  # [B, hn, wn, 1] f32
-            if scale == 1:
-                up = tiles
-            elif scale == 4:
-                up = bicubic_x4(tiles)
-            else:
-                up = resize_nhwc(tiles, hn * scale, wn * scale, "bicubic")
-            return jnp.clip(jnp.floor(up + 0.5), 0.0, 255.0).astype(jnp.uint8)
+            def chunk_body(buf, xy):
+                cxs, cys = xy  # [B]
+                tiles = jax.vmap(extract)(cxs, cys)
+                color = tile_color(tiles, ph, pw, hn, wn, tta)
+                if with_alpha:
+                    atiles = jax.vmap(extract_alpha)(cxs, cys)
+                    if scale == 1:
+                        up = atiles
+                    elif scale == 4:
+                        up = bicubic_x4(atiles)
+                    else:
+                        up = resize_nhwc(atiles, hn * scale, wn * scale, "bicubic")
+                    a_u8 = jnp.clip(jnp.floor(up + 0.5), 0.0, 255.0).astype(jnp.uint8)
+                    tiles_u8 = jnp.concatenate([color, a_u8], axis=-1)
+                else:
+                    tiles_u8 = color
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def scatter(buf, tiles_u8, xs, ys):
-            """Write [B, th, tw, C] tiles into the full output buffer."""
+                def scat(b, t):
+                    tile, x0, y0 = t
+                    return jax.lax.dynamic_update_slice(
+                        b, tile, (y0 * scale, x0 * scale, 0)
+                    ), None
 
-            def body(b, t):
-                tile, x0, y0 = t
-                b = jax.lax.dynamic_update_slice(b, tile, (y0, x0, 0))
-                return b, None
+                buf, _ = jax.lax.scan(scat, buf, (tiles_u8, cxs, cys))
+                return buf, None
 
-            buf, _ = jax.lax.scan(body, buf, (tiles_u8, xs, ys))
-            return buf
+            out_buf, _ = jax.lax.scan(chunk_body, out_buf, (xs, ys))
+            return out_buf
 
-        self._prep = prep
-        self._run_bucket = run_bucket
-        self._alpha_bucket = alpha_bucket
-        self._scatter = scatter
+        static = (5, 6, 7, 8, 9, 10)
+        if self.mesh is None:
+            self._prep = jax.jit(prep, static_argnums=(1,))
+            self._run_bucket = jax.jit(
+                run_bucket, static_argnums=static, donate_argnums=(2,)
+            )
+        else:
+            # Mesh mode: params/image/output replicated, tile batch axis
+            # (axis 1 of xs/ys) sharded. The only collective is XLA's gather
+            # of per-device tiles into the replicated buffer — all on ICI.
+            rep = replicated(self.mesh)
+            shd_b = NamedSharding(self.mesh, P(None, TILE_AXIS))
+            self._prep = jax.jit(
+                prep,
+                static_argnums=(1,),
+                in_shardings=(rep,),
+                out_shardings=(rep, rep),
+            )
+            self._run_bucket = jax.jit(
+                run_bucket,
+                static_argnums=static,
+                donate_argnums=(2,),
+                in_shardings=(rep, rep, rep, shd_b, shd_b),
+                out_shardings=rep,
+            )
 
     # -- inference -----------------------------------------------------
 
-    def process(
+    def process_device(
         self,
         image: np.ndarray,
         progress_cb: Optional[Callable[[float], None]] = None,
-    ) -> np.ndarray:
-        """uint8 HWC (C=3|4) -> uint8 [H*scale, W*scale, C].
+    ):
+        """uint8 HWC (C=3|4) -> DEVICE uint8 buffer [H*scale, W*scale, C].
 
         Single entry point for every backend (the reference needs separate
         process/process_cpu, src/realsr.cpp:145/525 — here XLA retargets the
@@ -257,48 +287,58 @@ class RealSR:
         pad = self.prepadding
 
         plan = plan_tiles(w, h, self.tilesize, pad)
-        img_dev = jax.device_put(image, self.device)
-        padded, alpha = self._prep(img_dev, pad_=pad)
+        where = replicated(self.mesh) if self.mesh is not None else self.device
+        img_dev = jax.device_put(image, where)
+        padded, alpha = self._prep(img_dev, pad)
 
-        out_buf = jax.device_put(
-            jnp.zeros((h * s, w * s, c), dtype=jnp.uint8), self.device
-        )
+        out_buf = jax.device_put(jnp.zeros((h * s, w * s, c), dtype=jnp.uint8), where)
 
+        ndev = self.mesh.size if self.mesh is not None else 1
         max_batch = self.config.max_batch or _auto_batch(self.tilesize, self.tta_mode)
+        max_batch = -(-max_batch // ndev) * ndev  # multiple of mesh size
         done = 0
         total = len(plan.tiles)
         for (ph, pw), idxs in plan.buckets.items():
             hn, wn = ph - 2 * pad, pw - 2 * pad
-            for chunk in _chunks(idxs, max_batch):
-                n = len(chunk)
-                # pad chunk to a power-of-two batch to bound recompiles;
-                # duplicated tiles rewrite identical bytes on scatter.
-                bsz = min(max_batch, 1 << (n - 1).bit_length())
-                chunk = chunk + [chunk[-1]] * (bsz - n)
-                xs = jnp.asarray([plan.tiles[i].x0 for i in chunk], jnp.int32)
-                ys = jnp.asarray([plan.tiles[i].y0 for i in chunk], jnp.int32)
-                color = self._run_bucket(
-                    self._params, padded, xs, ys, ph=ph, pw=pw, hn=hn, wn=wn,
-                    tta=self.tta_mode,
-                )
-                if c == 4:
-                    a = self._alpha_bucket(alpha, xs, ys, hn=hn, wn=wn)
-                    tiles_u8 = jnp.concatenate([color, a], axis=-1)
-                else:
-                    tiles_u8 = color
-                out_buf = self._scatter(out_buf, tiles_u8, xs * s, ys * s)
-                done += n
-                if progress_cb is not None:
-                    progress_cb(done / total)
+            n = len(idxs)
+            # batch = pow2 (x mesh multiple), capped; tile list padded to a
+            # whole number of chunks — duplicated tiles rewrite identical
+            # bytes on scatter. Shapes stay in a small reusable set so jit
+            # cache hits dominate across images.
+            bsz = min(max_batch, 1 << (n - 1).bit_length())
+            bsz = -(-bsz // ndev) * ndev
+            nc = -(-n // bsz)
+            idxs = idxs + [idxs[-1]] * (nc * bsz - n)
+            xs = np.asarray([plan.tiles[i].x0 for i in idxs], np.int32).reshape(nc, bsz)
+            ys = np.asarray([plan.tiles[i].y0 for i in idxs], np.int32).reshape(nc, bsz)
+            out_buf = self._run_bucket(
+                padded, alpha, out_buf, xs, ys, ph, pw, hn, wn, self.tta_mode, c == 4
+            )
+            done += n
+            if progress_cb is not None:
+                progress_cb(done / total)
+        return out_buf
+
+    def fetch(self, out_buf) -> np.ndarray:
+        """Device output buffer -> host numpy (the one D2H per image)."""
         return np.asarray(jax.device_get(out_buf))
+
+    def process(
+        self,
+        image: np.ndarray,
+        progress_cb: Optional[Callable[[float], None]] = None,
+    ) -> np.ndarray:
+        """uint8 HWC -> uint8 host array (process_device + fetch).
+
+        process_device dispatches asynchronously; callers that want to
+        overlap the D2H with the next image's compute (the pipeline's save
+        stage does) use process_device/fetch directly.
+        """
+        return self.fetch(self.process_device(image, progress_cb))
 
     # reference-API alias (src/realsr.h:31): same program, CPU engine is
     # just a RealSR constructed with gpuid=-1.
     process_cpu = process
-
-
-def _chunks(seq: Sequence[int], n: int) -> List[List[int]]:
-    return [list(seq[i : i + n]) for i in range(0, len(seq), n)]
 
 
 @functools.lru_cache(maxsize=1)

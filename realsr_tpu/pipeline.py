@@ -90,7 +90,11 @@ def proc_worker(engine, toproc: TaskQueue, tosave: TaskQueue, progress: bool) ->
         if progress:
             def cb(frac, _t=t):  # per-tile % like realsr.cpp:481
                 print(f"{frac * 100.0:.2f}%", file=sys.stderr)
-        t.outimage = engine.process(t.inimage, progress_cb=cb)
+        # keep the result ON DEVICE: the save stage's fetch (D2H) then
+        # overlaps this thread's next image's compute — the TPU analog of
+        # the reference's download/compute pipelining opportunity its
+        # per-tile submit_and_wait forfeits (realsr.cpp:475-495).
+        t.outimage = (engine, engine.process_device(t.inimage, progress_cb=cb))
         t.inimage = None  # free decoded input (save stage frees in reference)
         tosave.put(t)
 
@@ -101,7 +105,8 @@ def save_worker(tosave: TaskQueue, verbose: bool) -> None:
         t = tosave.get()
         if t.id == POISON_ID:
             break
-        ok = encode_image(t.outpath, t.outimage)
+        engine, buf = t.outimage
+        ok = encode_image(t.outpath, engine.fetch(buf))
         if ok:
             if verbose:
                 print(f"{t.inpath} -> {t.outpath} done", file=sys.stderr)

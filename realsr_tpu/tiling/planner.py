@@ -74,17 +74,16 @@ def auto_tilesize(heap_budget_mb: int, is_cpu: bool = False) -> int:
     """Default tile size from memory budget.
 
     Mirrors the reference's policy shape (src/main.cpp:748-775: CPU=200;
-    GPU 200/100/64/32 for heap > 1900/550/190 MB) with TPU-scaled budgets:
-    a v5e has ~16 GB HBM and the fp32 activation peak of one 400px tile is
-    ~135 MB, so TPU tiers admit larger tiles where the halo overhead is
-    proportionally smaller ((T+2p)^2/T^2: 21% at T=200, 10% at T=400).
+    GPU 200/100/64/32 for heap > 1900/550/190 MB) with a TPU-measured top
+    tier: on v5e, T=128 tiles batched 16-deep sustain ~2x the MXU
+    utilization of single T=400 tiles (spatial dims tile the MXU better and
+    the batch axis amortizes edge effects), and the batch dimension is also
+    what a mesh shards. Below 1.9 GB the reference's tiers apply unchanged.
     """
     if is_cpu:
         return 200
-    if heap_budget_mb > 7900:
-        return 400
     if heap_budget_mb > 1900:
-        return 200
+        return 128
     if heap_budget_mb > 550:
         return 100
     if heap_budget_mb > 190:

@@ -8,12 +8,20 @@ sharding is exercised without TPU hardware (SURVEY.md §4: the reference's
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Override, not setdefault: the base environment exports JAX_PLATFORMS=axon
+# (the real TPU) and a sitecustomize hook registers that backend at
+# interpreter start, so plain env vars set here are too late — use
+# jax.config, which works until the first backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -21,11 +21,14 @@ class FakeEngine:
     class device:
         platform = "cpu"
 
-    def process(self, img, progress_cb=None):
+    def process_device(self, img, progress_cb=None):
         if progress_cb:
             progress_cb(1.0)
         h, w, c = img.shape
         return np.zeros((h * 4, w * 4, c), np.uint8)
+
+    def fetch(self, buf):
+        return buf
 
 
 def test_queue_backpressure():

@@ -39,6 +39,6 @@ def test_auto_tilesize_reference_tiers():
     assert auto_tilesize(0) == 32
     assert auto_tilesize(200) == 64
     assert auto_tilesize(600) == 100
-    assert auto_tilesize(2000) == 200
-    assert auto_tilesize(16000) == 400
+    assert auto_tilesize(2000) == 128
+    assert auto_tilesize(16000) == 128
     assert auto_tilesize(0, is_cpu=True) == 200
