@@ -216,15 +216,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         return -1
 
-    # --- JAX platform config BEFORE importing the engine stack -----------
+    # --- JAX platform config BEFORE backend initialization ---------------
+    # Env vars alone are not enough: the hosting environment may import jax
+    # at interpreter start (sitecustomize), so set jax.config too — it works
+    # until the first backend use (tests/conftest.py has the same note).
+    import jax
+
     if gpuid and all(g == -1 for g in gpuid):
         os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
     elif any(g == -1 for g in gpuid):
-        cur = os.environ.get("JAX_PLATFORMS", "")
+        cur = os.environ.get("JAX_PLATFORMS", "") or None
         if cur and "cpu" not in cur.split(","):
             os.environ["JAX_PLATFORMS"] = cur + ",cpu"
-
-    import jax
+            jax.config.update("jax_platforms", cur + ",cpu")
 
     from realsr_tpu.engine import EngineConfig, RealSR
     from realsr_tpu.pipeline import run_pipeline

@@ -43,15 +43,21 @@ from realsr_tpu.parallel.mesh import TILE_AXIS, replicated, tile_sharded
 from realsr_tpu.ops.pad import reflect101_pad2d
 from realsr_tpu.ops.resize import bicubic_x4, resize_nhwc
 from realsr_tpu.ops.tta import NUM_TRANSFORMS, d4_inverse, d4_transform
-from realsr_tpu.tiling.planner import TilePlan, auto_tilesize, plan_tiles
+from realsr_tpu.tiling.planner import (
+    TilePlan,
+    auto_tilesize,
+    pick_tilesize,
+    plan_tiles,
+)
 
 
 @dataclasses.dataclass
 class EngineConfig:
-    tilesize: int = 0  # 0 = auto from device memory (planner.auto_tilesize)
+    tilesize: int = 0  # 0 = auto per image (planner.pick_tilesize)
     prepadding: int = 10  # DF2K halo (src/main.cpp:661-667)
     storage: str = "auto"  # "auto" | "float32" | "bfloat16"
     max_batch: int = 0  # 0 = auto from tilesize
+    variant: str = "dense"  # RDB conv formulation: "dense" | "scatter"
     compilation_cache: bool = True
 
 
@@ -66,10 +72,15 @@ def _storage_dtype(storage: str, device) -> jnp.dtype:
 
 
 def _auto_batch(tilesize: int, tta: bool) -> int:
+    # 8 is XLA:TPU's conv batch-split granule — measured on v5e, batches of
+    # 12/16 cost exactly 2x a batch of 8 (tools/tpu_sweep.py), so nothing
+    # is gained past 8; smaller only when memory or TTA demands it.
     px = (tilesize + 20) ** 2
-    b = max(1, min(16, int(2_000_000 / px)))
+    b = max(1, min(8, int(2_000_000 / px)))
     if tta:
-        b = max(1, b // 4)
+        # TTA multiplies the net's batch by 8 dihedral variants; keep the
+        # effective conv batch at the same granule.
+        b = max(1, b // 8)
     return b
 
 
@@ -116,7 +127,16 @@ class RealSR:
         self.bundle: Optional[ModelBundle] = None
         self.scale = 4
         self.prepadding = self.config.prepadding
-        self.tilesize = self.config.tilesize or self._auto_tilesize()
+        # 0 = auto: on accelerators the tile size is picked PER IMAGE
+        # (planner.pick_tilesize minimizes halo+chunk pad waste); on CPU the
+        # reference's fixed 200 applies (src/main.cpp:752).
+        if self.config.tilesize:
+            self.tilesize = self.config.tilesize
+        elif self.device.platform == "cpu":
+            self.tilesize = self._auto_tilesize()
+        else:
+            self.tilesize = 0
+        self.last_tilesize = self.tilesize
         if self.config.compilation_cache:
             _enable_compilation_cache()
 
@@ -141,7 +161,9 @@ class RealSR:
         Returns 0 like the reference (src/realsr.cpp:142)."""
         dtype = _storage_dtype(self.config.storage, self.device)
         self.storage_dtype = dtype
-        self.bundle = load_model(parampath, modelpath, storage_dtype=dtype)
+        self.bundle = load_model(
+            parampath, modelpath, storage_dtype=dtype, variant=self.config.variant
+        )
         self.scale = self.bundle.scale
         where = replicated(self.mesh) if self.mesh is not None else self.device
         self._params = jax.device_put(self.bundle.params, where)
@@ -286,7 +308,9 @@ class RealSR:
         s = self.scale
         pad = self.prepadding
 
-        plan = plan_tiles(w, h, self.tilesize, pad)
+        tilesize = self.tilesize or pick_tilesize(w, h, pad)
+        self.last_tilesize = tilesize
+        plan = plan_tiles(w, h, tilesize, pad)
         where = replicated(self.mesh) if self.mesh is not None else self.device
         img_dev = jax.device_put(image, where)
         padded, alpha = self._prep(img_dev, pad)
@@ -294,7 +318,7 @@ class RealSR:
         out_buf = jax.device_put(jnp.zeros((h * s, w * s, c), dtype=jnp.uint8), where)
 
         ndev = self.mesh.size if self.mesh is not None else 1
-        max_batch = self.config.max_batch or _auto_batch(self.tilesize, self.tta_mode)
+        max_batch = self.config.max_batch or _auto_batch(tilesize, self.tta_mode)
         max_batch = -(-max_batch // ndev) * ndev  # multiple of mesh size
         done = 0
         total = len(plan.tiles)

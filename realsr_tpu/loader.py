@@ -20,7 +20,7 @@ import numpy as np
 
 from realsr_tpu.graph.executor import build_forward, convert_weights_nhwc
 from realsr_tpu.graph.rrdb_match import extract_stacked_params, match_rrdbnet
-from realsr_tpu.models.rrdbnet import RRDBNetSpec, rrdbnet_forward
+from realsr_tpu.models.rrdbnet import RRDBNetSpec, repack_scatter, rrdbnet_forward
 from realsr_tpu.ncnn.bin import load_weights
 from realsr_tpu.ncnn.param import ParamGraph, parse_param_file
 
@@ -54,7 +54,12 @@ def load_model(
     bin_path: str,
     storage_dtype=jnp.float32,
     allow_fast_path: bool = True,
+    variant: str = "dense",
 ) -> ModelBundle:
+    """``variant``: RDB conv formulation for the fast path — 'dense' keeps
+    the graph's concat-input convs; 'scatter' repacks weights by source
+    (models.rrdbnet.repack_scatter; identical math, different MXU shape).
+    """
     graph = parse_param_file(param_path)
     weights = convert_weights_nhwc(load_weights(graph, bin_path))
 
@@ -62,9 +67,13 @@ def load_model(
     if match is not None:
         spec = match.spec
         params = extract_stacked_params(match, weights)
+        if variant == "scatter":
+            params = jax.tree.map(np.asarray, repack_scatter(params))
 
         def forward(p, x):
-            return rrdbnet_forward(p, x, spec, storage_dtype=storage_dtype)
+            return rrdbnet_forward(
+                p, x, spec, storage_dtype=storage_dtype, variant=variant
+            )
 
         return ModelBundle(forward, params, spec.scale, spec, graph)
 

@@ -19,7 +19,7 @@ axis we shard across a device mesh).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,10 +75,10 @@ def auto_tilesize(heap_budget_mb: int, is_cpu: bool = False) -> int:
 
     Mirrors the reference's policy shape (src/main.cpp:748-775: CPU=200;
     GPU 200/100/64/32 for heap > 1900/550/190 MB) with a TPU-measured top
-    tier: on v5e, T=128 tiles batched 16-deep sustain ~2x the MXU
-    utilization of single T=400 tiles (spatial dims tile the MXU better and
-    the batch axis amortizes edge effects), and the batch dimension is also
-    what a mesh shards. Below 1.9 GB the reference's tiers apply unchanged.
+    tier: on v5e, T=128 tiles batched 8-deep sustain the best MXU
+    utilization (tools/tpu_sweep.py; XLA splits conv batches at 8, so 8 is
+    the batching granule), and the batch dimension is also what a mesh
+    shards. Below 1.9 GB the reference's tiers apply unchanged.
     """
     if is_cpu:
         return 200
@@ -89,3 +89,40 @@ def auto_tilesize(heap_budget_mb: int, is_cpu: bool = False) -> int:
     if heap_budget_mb > 190:
         return 64
     return 32
+
+
+# measured per-padded-pixel forward cost on TPU v5e, relative to tile 128
+# at the granule batch (tools/tpu_sweep.py; dense variant, batch 8):
+# t128 1.036us/px, t192 1.074us/px, t256+ >= 2x — larger tiles trip XLA
+# into a slower conv schedule, so they are not worth their smaller halo.
+_TILE_COST = {128: 1.00, 192: 1.04}
+
+
+def pick_tilesize(
+    w: int,
+    h: int,
+    prepadding: int,
+    granule: int = 8,
+) -> int:
+    """Per-image auto tile size: minimize total padded-tile work.
+
+    The forward cost of an image is the sum over buckets of
+    ``ceil(n_bucket/granule) * granule * padded_h * padded_w`` — tiles are
+    chunk-padded to the batching granule (engine) and halo-padded by
+    ``prepadding`` (planner), so both pad-waste sources depend on how the
+    tile grid lands on the image — weighted by the tile size's measured
+    per-pixel cost (_TILE_COST). Ties break toward larger tiles (fewer
+    dispatches).
+    """
+    best = None
+    for t, rate in _TILE_COST.items():
+        plan = plan_tiles(w, h, t, prepadding)
+        cost = 0
+        for (ph, pw), idxs in plan.buckets.items():
+            n = len(idxs)
+            nb = min(granule, 1 << (n - 1).bit_length())
+            cost += -(-n // nb) * nb * ph * pw
+        cost *= rate
+        if best is None or cost < best[0] or (cost == best[0] and t > best[1]):
+            best = (cost, t)
+    return best[1]

@@ -70,3 +70,40 @@ def test_executor_bf16_storage_runs(tiny_graph_and_weights):
     y = jax.jit(fwd)(weights, x)
     assert y.dtype == jnp.bfloat16
     assert y.shape == (1, 32, 32, 3)
+
+
+def test_scatter_variant_matches_dense(tiny_graph_and_weights):
+    """repack_scatter is an exact algebraic regrouping (models.rrdbnet)."""
+    from realsr_tpu.models.rrdbnet import repack_scatter
+
+    graph, weights = tiny_graph_and_weights
+    m = match_rrdbnet(graph)
+    stacked = extract_stacked_params(m, weights)
+    x = np.random.default_rng(3).random((2, 9, 11, 3), dtype=np.float32)
+    y_dense = jax.jit(
+        lambda p, x: rrdbnet_forward(p, x, TINY_SPEC, storage_dtype=jnp.float32)
+    )(stacked, x)
+    y_scat = jax.jit(
+        lambda p, x: rrdbnet_forward(
+            p, x, TINY_SPEC, storage_dtype=jnp.float32, variant="scatter"
+        )
+    )(repack_scatter(stacked), x)
+    np.testing.assert_allclose(
+        np.asarray(y_dense), np.asarray(y_scat), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_loader_scatter_variant(tmp_path):
+    """load_model(variant='scatter') produces the same engine output."""
+    from realsr_tpu.loader import load_model
+    from realsr_tpu.ncnn.synth import make_model_dir
+
+    make_model_dir(str(tmp_path), TINY_SPEC, seed=5)
+    x = np.random.default_rng(4).random((1, 8, 8, 3), dtype=np.float32)
+    outs = []
+    for v in ("dense", "scatter"):
+        b = load_model(
+            str(tmp_path / "x4.param"), str(tmp_path / "x4.bin"), variant=v
+        )
+        outs.append(np.asarray(jax.jit(b.forward)(b.params, x)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-5)

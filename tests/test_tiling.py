@@ -42,3 +42,14 @@ def test_auto_tilesize_reference_tiers():
     assert auto_tilesize(2000) == 128
     assert auto_tilesize(16000) == 128
     assert auto_tilesize(0, is_cpu=True) == 200
+
+
+def test_pick_tilesize_minimizes_pad_waste():
+    from realsr_tpu.tiling.planner import _TILE_COST, pick_tilesize
+
+    # exact-fit images pick the exactly-fitting candidate
+    assert pick_tilesize(1024, 1024, 10) == 128
+    assert pick_tilesize(192, 192, 10) == 192
+    # result is always a candidate
+    for wh in [(1, 1), (33, 17), (640, 480), (4096, 2160)]:
+        assert pick_tilesize(*wh, 10) in _TILE_COST
