@@ -49,6 +49,7 @@ from realsr_tpu.tiling.planner import (
     pick_tilesize,
     plan_tiles,
 )
+from realsr_tpu.utils.trace import maybe_start_profiler, tracer
 
 
 @dataclasses.dataclass
@@ -308,12 +309,14 @@ class RealSR:
         s = self.scale
         pad = self.prepadding
 
+        maybe_start_profiler()
         tilesize = self.tilesize or pick_tilesize(w, h, pad)
         self.last_tilesize = tilesize
         plan = plan_tiles(w, h, tilesize, pad)
         where = replicated(self.mesh) if self.mesh is not None else self.device
-        img_dev = jax.device_put(image, where)
-        padded, alpha = self._prep(img_dev, pad)
+        with tracer.span("h2d+prep"):
+            img_dev = jax.device_put(image, where)
+            padded, alpha = self._prep(img_dev, pad)
 
         out_buf = jax.device_put(jnp.zeros((h * s, w * s, c), dtype=jnp.uint8), where)
 
@@ -335,9 +338,11 @@ class RealSR:
             idxs = idxs + [idxs[-1]] * (nc * bsz - n)
             xs = np.asarray([plan.tiles[i].x0 for i in idxs], np.int32).reshape(nc, bsz)
             ys = np.asarray([plan.tiles[i].y0 for i in idxs], np.int32).reshape(nc, bsz)
-            out_buf = self._run_bucket(
-                padded, alpha, out_buf, xs, ys, ph, pw, hn, wn, self.tta_mode, c == 4
-            )
+            with tracer.span("dispatch"):
+                out_buf = self._run_bucket(
+                    padded, alpha, out_buf, xs, ys, ph, pw, hn, wn,
+                    self.tta_mode, c == 4,
+                )
             done += n
             if progress_cb is not None:
                 progress_cb(done / total)
@@ -345,7 +350,8 @@ class RealSR:
 
     def fetch(self, out_buf) -> np.ndarray:
         """Device output buffer -> host numpy (the one D2H per image)."""
-        return np.asarray(jax.device_get(out_buf))
+        with tracer.span("fetch(D2H)"):
+            return np.asarray(jax.device_get(out_buf))
 
     def process(
         self,

@@ -89,6 +89,8 @@ def _conv(
     groups = layer.pi(7, 1) if layer.type == "ConvolutionDepthWise" else 1
 
     w = params["weight"].astype(storage_dtype)
+    from realsr_tpu.models.rrdbnet import _precision
+
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -98,6 +100,7 @@ def _conv(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
+        precision=_precision(x.dtype),
     )
     if layer.pi(5):
         y = y + params["bias"].astype(jnp.float32)

@@ -30,6 +30,7 @@ import numpy as np
 
 from realsr_tpu.io.codecs import decode_image, encode_image
 from realsr_tpu.utils.fsutils import get_file_extension
+from realsr_tpu.utils.trace import tracer
 
 QUEUE_CAPACITY = 8  # main.cpp:141
 POISON_ID = -233  # main.cpp:322
@@ -64,7 +65,8 @@ def load_worker(
 ) -> None:
     """Decode a slice of the file list and enqueue tasks (main.cpp:190-303)."""
     for i, inpath, outpath in files:
-        img = decode_image(inpath)
+        with tracer.span("decode"):
+            img = decode_image(inpath)
         if img is None:
             print(f"decode image {inpath} failed", file=sys.stderr)
             continue
@@ -106,7 +108,9 @@ def save_worker(tosave: TaskQueue, verbose: bool) -> None:
         if t.id == POISON_ID:
             break
         engine, buf = t.outimage
-        ok = encode_image(t.outpath, engine.fetch(buf))
+        out = engine.fetch(buf)
+        with tracer.span("encode"):
+            ok = encode_image(t.outpath, out)
         if ok:
             if verbose:
                 print(f"{t.inpath} -> {t.outpath} done", file=sys.stderr)
