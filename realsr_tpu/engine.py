@@ -58,7 +58,11 @@ class EngineConfig:
     prepadding: int = 10  # DF2K halo (src/main.cpp:661-667)
     storage: str = "auto"  # "auto" | "float32" | "bfloat16"
     max_batch: int = 0  # 0 = auto from tilesize
-    variant: str = "dense"  # RDB conv formulation: "dense" | "scatter"
+    # RDB conv formulation: "auto" | "dense" | "scatter" | "pallas".
+    # auto = the fused Pallas kernel on a single TPU device (2.2x the XLA
+    # conv throughput, ops.rdb_kernel), plain XLA convs on CPU and under a
+    # mesh (GSPMD cannot partition a custom call over the tile batch).
+    variant: str = "auto"
     compilation_cache: bool = True
 
 
@@ -162,8 +166,13 @@ class RealSR:
         Returns 0 like the reference (src/realsr.cpp:142)."""
         dtype = _storage_dtype(self.config.storage, self.device)
         self.storage_dtype = dtype
+        variant = self.config.variant
+        if variant == "auto":
+            single_accel = self.mesh is None and self.device.platform != "cpu"
+            variant = "pallas" if single_accel else "dense"
+        self.variant = variant
         self.bundle = load_model(
-            parampath, modelpath, storage_dtype=dtype, variant=self.config.variant
+            parampath, modelpath, storage_dtype=dtype, variant=variant
         )
         self.scale = self.bundle.scale
         where = replicated(self.mesh) if self.mesh is not None else self.device

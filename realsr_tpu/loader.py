@@ -58,7 +58,9 @@ def load_model(
 ) -> ModelBundle:
     """``variant``: RDB conv formulation for the fast path — 'dense' keeps
     the graph's concat-input convs; 'scatter' repacks weights by source
-    (models.rrdbnet.repack_scatter; identical math, different MXU shape).
+    (models.rrdbnet.repack_scatter; identical math, different MXU shape);
+    'pallas' packs for the fused TPU kernel (ops.rdb_kernel; identical
+    math, ~2.2x the XLA conv throughput on v5e, single-device TPU only).
     """
     graph = parse_param_file(param_path)
     weights = convert_weights_nhwc(load_weights(graph, bin_path))
@@ -69,6 +71,16 @@ def load_model(
         params = extract_stacked_params(match, weights)
         if variant == "scatter":
             params = jax.tree.map(np.asarray, repack_scatter(params))
+        elif variant == "pallas":
+            from realsr_tpu.ops.rdb_kernel import pack_rdb_params
+
+            params = dict(params)
+            params["rdb"] = jax.tree.map(
+                np.asarray,
+                pack_rdb_params(
+                    repack_scatter(params)["rdb"], dtype=storage_dtype
+                ),
+            )
 
         def forward(p, x):
             return rrdbnet_forward(

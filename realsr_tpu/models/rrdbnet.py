@@ -173,6 +173,42 @@ def repack_scatter(params):
     return new
 
 
+def _rrdb_trunk_pallas(rdb_params, fea, spec, storage_dtype):
+    """23-block trunk via the fused Pallas RDB kernel (ops.rdb_kernel).
+
+    ``rdb_params``: kernel-packed stacked params (loader packs via
+    repack_scatter + ops.rdb_kernel.pack_rdb_params). The scan carries the
+    kernel's flat transposed layout; per RRDB: 3 fused kernel calls + the
+    0.2-scaled residual, all on-layout (transposes only at trunk entry/exit).
+    """
+    from realsr_tpu.ops import rdb_kernel as RK
+
+    B, H, W, nf = fea.shape
+    gc = spec.gc
+    WB = RK.round_wb(W)
+    BLK, nblk = RK.plan_rows(H)
+    Hp = BLK * nblk
+    t0 = RK.to_flat(fea, WB, Hp)
+
+    def rrdb_body(t, block_p):
+        u_center = t[:, :, 5 * WB : 5 * WB + Hp * WB]
+        cur = t
+        for j in range(spec.num_rdb_per_rrdb):
+            pj = jax.tree.map(lambda a: a[j], block_p)
+            y = RK.rdb_apply(
+                cur, pj, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc
+            )
+            cur = RK.re_apron(y, WB)
+        y3 = cur[:, :, 5 * WB : 5 * WB + Hp * WB]
+        out = (
+            RESIDUAL_SCALE * y3.astype(jnp.float32) + u_center.astype(jnp.float32)
+        ).astype(storage_dtype)
+        return RK.re_apron(out, WB), None
+
+    tf, _ = jax.lax.scan(rrdb_body, t0, rdb_params)
+    return RK.from_flat(tf[:, :, 5 * WB : 5 * WB + Hp * WB], H, W, WB)
+
+
 def rrdbnet_forward(
     params: Dict[str, Any],
     x: jnp.ndarray,
@@ -193,26 +229,32 @@ def rrdbnet_forward(
       last:       {w,b}
 
     ``variant``: 'dense' = concat-input convs (the literal graph shape);
-    'scatter' = source-regrouped convs (identical math, see _rdb_scatter).
+    'scatter' = source-regrouped convs (identical math, see _rdb_scatter);
+    'pallas' = fused whole-block TPU kernel (ops.rdb_kernel; same math,
+    ~2.2x the XLA conv throughput on v5e; rdb params must be kernel-packed).
     """
-    rdb_fn = _rdb_scatter if variant == "scatter" else _rdb
     x = x.astype(storage_dtype)
     fea = _conv3x3(x, params["conv_first"]["w"], params["conv_first"]["b"])
     fea = fea.astype(storage_dtype)
 
     num_rdb = spec.num_rdb_per_rrdb
 
-    def rrdb_body(t, block_p):
-        u = t
-        for j in range(num_rdb):
-            pj = jax.tree.map(lambda a: a[j], block_p)
-            t = rdb_fn(t, pj, storage_dtype)
-        t = (RESIDUAL_SCALE * t.astype(jnp.float32) + u.astype(jnp.float32)).astype(
-            storage_dtype
-        )
-        return t, None
+    if variant == "pallas":
+        body = _rrdb_trunk_pallas(params["rdb"], fea, spec, storage_dtype)
+    else:
+        rdb_fn = _rdb_scatter if variant == "scatter" else _rdb
 
-    body, _ = jax.lax.scan(rrdb_body, fea, params["rdb"])
+        def rrdb_body(t, block_p):
+            u = t
+            for j in range(num_rdb):
+                pj = jax.tree.map(lambda a: a[j], block_p)
+                t = rdb_fn(t, pj, storage_dtype)
+            t = (
+                RESIDUAL_SCALE * t.astype(jnp.float32) + u.astype(jnp.float32)
+            ).astype(storage_dtype)
+            return t, None
+
+        body, _ = jax.lax.scan(rrdb_body, fea, params["rdb"])
 
     trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"])
     fea = (fea.astype(jnp.float32) + trunk).astype(storage_dtype)

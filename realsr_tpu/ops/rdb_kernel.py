@@ -1,0 +1,288 @@
+"""Pallas TPU kernel: fused residual dense block (RDB) in transposed layout.
+
+Why this exists (measured on v5e, tools/tpu_sweep.py + same-process A/B):
+XLA's conv lowering keeps output channels on the MXU's 128-lane axis, so the
+RDB's gc=32-channel convs cap at ~25% lane utilization — the full forward
+plateaus at ~35 TF/s no matter the NHWC/NCHW dimension numbers. This kernel
+computes the whole 5-conv dense block (scatter-weight formulation, see
+models.rrdbnet._rdb_scatter) as matmuls in a TRANSPOSED layout:
+
+    W_j [C_out, C_in*9]  @  cols_j [C_in*9, spatial]
+
+with the (large) flattened spatial axis on the lanes and channels x taps on
+the contraction axis — lane utilization no longer depends on the model's
+channel counts. The im2col ``cols`` never touches HBM: each tap is a lane
+slice of the guarded VMEM copy of the input (out-of-tile taps read
+guaranteed zeros, matching ncnn's per-conv zero padding of the tile —
+reference numerics per src/realsr_preproc.comp + SURVEY.md §2.7), and all
+five stages run back to back in VMEM. The only HBM traffic per block is the
+input window DMA (with a 5-row halo for the 5-conv receptive field) and the
+output write — intermediate activations c1..c4 / partial sums never leave
+the chip.
+
+Data layout across the RDB chain: ``[B, nf, (Hp+10)*WB]`` bf16 — channels on
+sublanes, flat (row-major, WB lanes per row) spatial on lanes, with data at
+rows 5..5+H (zero aprons feed the first/last blocks' halos) and cols 1..W+1
+(zero guard columns realize the conv zero padding). The kernel masks every
+activation outside the data region back to zero, so the layout is
+self-sustaining across the 69 chained RDB calls of the 23-block trunk.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.2
+RESIDUAL_SCALE = 0.2
+
+_G = 256  # guard lanes each side of the VMEM window (>= WB+1, lane-aligned)
+_CH = 1920  # lane-chunk for stage matmuls (15 lane tiles)
+
+
+def round_wb(w: int) -> int:
+    """Lanes per row: W + 2 guard cols, rounded so BLK*WB can tile by 128
+    (Mosaic requires output block lane dims divisible by 128; WB mult of 32
+    + BLK mult of 4 guarantees it)."""
+    return -(-(w + 2) // 32) * 32
+
+
+def plan_rows(h: int, target_blk: int = 56):
+    """(BLK, nblk): row-block size (multiple of 4) and count;
+    Hp = BLK*nblk >= h. Default target from the v5e BLK sweep (BLK 52x3 at
+    H=148 measured 96 TF/s vs 86 at 40x4/76x2 — ~20% halo recompute is the
+    sweet spot against VMEM pressure)."""
+    nblk = max(1, -(-h // target_blk))
+    blk = -(-(-(-h // nblk)) // 4) * 4
+    return blk, nblk
+
+
+def _lrelu(v):
+    return jnp.where(v >= 0, v, v * LRELU_SLOPE)
+
+
+def _rdb_kernel(
+    x_hbm,
+    w0,
+    w1,
+    w2,
+    w3,
+    w4,
+    b1,
+    b2,
+    b3,
+    b4,
+    b5,
+    out_ref,
+    xg,
+    cols_ref,
+    sem,
+    *,
+    H: int,
+    W: int,
+    WB: int,
+    BLK: int,
+    nf: int,
+    gc: int,
+):
+    R0 = BLK + 10
+    FLAT = R0 * WB
+    nch = -(-FLAT // _CH)
+    padf = nch * _CH  # chunk grid, 128-aligned; tail lanes compute garbage
+    # DMA sizes must be 128-lane aligned; the over-read beyond FLAT lands in
+    # the bottom halo row, which the output never depends on (the input is
+    # tail-padded by to_flat/re_apron so the read stays in bounds).
+    flatd = -(-FLAT // 128) * 128
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+
+    # window DMA: flat lanes [r*BLK*WB, +flatd) of the aproned input
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(r * BLK * WB, flatd)],
+        xg.at[:, pl.ds(_G, flatd)],
+        sem,
+    )
+    cp.start()
+    xg[:, : _G] = jnp.zeros((nf, _G), xg.dtype)
+    xg[:, _G + flatd :] = jnp.zeros((nf, xg.shape[1] - _G - flatd), xg.dtype)
+    cp.wait()
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT), 1)
+    trow = r * BLK + ids // WB - 5  # buffer row -> tile row
+    col = ids % WB
+    valid = (trow >= 0) & (trow < H) & (col >= 1) & (col <= W)
+
+    offs = [(dy - 1) * WB + (dx - 1) for dy in range(3) for dx in range(3)]
+
+    def stage(tg, wj):
+        """tg [cin, padf+2G] guarded -> [n_out, FLAT] f32.
+
+        Chunked lane-wise; each tap is a lane slice of the guarded input,
+        STORED into cols_ref (stores normalize the arbitrary lane offsets
+        Mosaic cannot concat directly), then one MXU matmul per chunk with
+        channels x taps on the contraction axis.
+        """
+        cin = tg.shape[0]
+        k = 9 * cin
+        outs = []
+        for f0 in range(0, padf, _CH):
+            for t, o in enumerate(offs):
+                cols_ref[t * cin : (t + 1) * cin, :] = tg[
+                    0:cin, _G + f0 + o : _G + f0 + o + _CH
+                ]
+            outs.append(
+                jax.lax.dot_general(
+                    wj,
+                    cols_ref[:k, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    # bf16 operands: native MXU mode. f32 operands (CPU
+                    # interpret tests): force true f32 like models.rrdbnet.
+                    precision=(
+                        jax.lax.Precision.HIGHEST
+                        if tg.dtype == jnp.float32
+                        else jax.lax.Precision.DEFAULT
+                    ),
+                )
+            )
+        full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        return full[:, :FLAT]
+
+    def guard(c):
+        return jnp.pad(c, ((0, 0), (_G, _G + padf - FLAT)))
+
+    # Early-accumulation schedule: the partial-conv outputs px/p1..p4 would
+    # otherwise all stay live until c5 (>20MB at production block sizes);
+    # instead each stage's contributions are folded immediately into
+    # bias-seeded f32 accumulators a2..a5 so only ONE stage output [n,FLAT]
+    # is ever live alongside the (shrinking) accumulator set — peak VMEM
+    # stays under the 16MB scoped limit at BLK=40.
+    dt = xg.dtype
+    px = stage(xg, w0[:])  # [4gc+nf, FLAT] f32
+    c1 = jnp.where(valid, _lrelu(px[0:gc] + b1[:]), 0.0).astype(dt)
+    a2 = px[gc : 2 * gc] + b2[:]
+    a3 = px[2 * gc : 3 * gc] + b3[:]
+    a4 = px[3 * gc : 4 * gc] + b4[:]
+    a5 = px[4 * gc :] + b5[:]
+    p1 = stage(guard(c1), w1[:])  # [3gc+nf, FLAT]
+    c2 = jnp.where(valid, _lrelu(a2 + p1[0:gc]), 0.0).astype(dt)
+    a3 = a3 + p1[gc : 2 * gc]
+    a4 = a4 + p1[2 * gc : 3 * gc]
+    a5 = a5 + p1[3 * gc :]
+    p2 = stage(guard(c2), w2[:])  # [2gc+nf, FLAT]
+    c3 = jnp.where(valid, _lrelu(a3 + p2[0:gc]), 0.0).astype(dt)
+    a4 = a4 + p2[gc : 2 * gc]
+    a5 = a5 + p2[2 * gc :]
+    p3 = stage(guard(c3), w3[:])  # [gc+nf, FLAT]
+    c4 = jnp.where(valid, _lrelu(a4 + p3[0:gc]), 0.0).astype(dt)
+    a5 = a5 + p3[gc:]
+    p4 = stage(guard(c4), w4[:])  # [nf, FLAT]
+    c5 = a5 + p4
+    xc = xg[:, _G : _G + FLAT].astype(jnp.float32)
+    y = jnp.where(valid, RESIDUAL_SCALE * c5 + xc, 0.0).astype(dt)
+    out_ref[0] = y[:, 5 * WB : (5 + BLK) * WB]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "WB", "BLK", "nblk", "nf", "gc", "interpret")
+)
+def rdb_apply(
+    x_flat: jnp.ndarray,  # [B, nf, (Hp+10)*WB] bf16, aproned
+    kp: Dict[str, jnp.ndarray],  # kernel params (see pack_rdb_params)
+    *,
+    H: int,
+    W: int,
+    WB: int,
+    BLK: int,
+    nblk: int,
+    nf: int,
+    gc: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused RDB on the flat transposed layout -> [B, nf, Hp*WB]."""
+    B = x_flat.shape[0]
+    R0 = BLK + 10
+    FLAT = R0 * WB
+    padf = -(-FLAT // _CH) * _CH
+    kernel = functools.partial(
+        _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nf=nf, gc=gc
+    )
+    rep = pl.BlockSpec(memory_space=pltpu.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nblk),
+        in_specs=[rep] + [vmem] * 10,
+        # each grid step writes its BLK rows straight into the flat layout
+        out_specs=pl.BlockSpec(
+            (1, nf, BLK * WB), lambda b, r: (b, 0, r), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nf, nblk * BLK * WB), x_flat.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nf, padf + 2 * _G), x_flat.dtype),
+            pltpu.VMEM((9 * nf, _CH), x_flat.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x_flat,
+        kp["w0"], kp["w1"], kp["w2"], kp["w3"], kp["w4"],
+        kp["b1"], kp["b2"], kp["b3"], kp["b4"], kp["b5"],
+    )
+    return out
+
+
+def pack_rdb_params(scatter_rdb: Dict[str, Any], dtype=jnp.bfloat16):
+    """Scatter-layout stacked RDB params -> kernel format.
+
+    sw_s [..., 3, 3, cin, n_out] (HWIO) -> w_s [..., n_out, 9*cin] with the
+    contraction index ordered (tap row-major) x cin, matching the kernel's
+    ``cols`` construction. Biases -> [..., n, 1] f32.
+    """
+    out = {}
+    for s in range(5):
+        w = jnp.asarray(scatter_rdb[f"sw{s}"])
+        *lead, kh, kw, cin, n = w.shape
+        w = jnp.moveaxis(w, -1, len(lead))  # [..., n, 3, 3, cin]
+        out[f"w{s}"] = w.reshape(*lead, n, kh * kw * cin).astype(dtype)
+    for i in range(1, 6):
+        b = jnp.asarray(scatter_rdb[f"b{i}"]).astype(jnp.float32)
+        out[f"b{i}"] = b[..., None]
+    return out
+
+
+# ---- layout transforms (XLA side) -----------------------------------------
+
+
+def to_flat(x_nhwc: jnp.ndarray, WB: int, Hp: int) -> jnp.ndarray:
+    """[B, H, W, C] -> aproned flat [B, C, (Hp+10)*WB] (data rows 5..5+H,
+    cols 1..W+1; zeros elsewhere)."""
+    B, H, W, C = x_nhwc.shape
+    x = jnp.transpose(x_nhwc, (0, 3, 1, 2))  # [B, C, H, W]
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (1, WB - W - 1)))
+    x = x.reshape(B, C, Hp * WB)
+    return jnp.pad(x, ((0, 0), (0, 0), (5 * WB, 5 * WB + 128)))
+
+
+def re_apron(x_flat: jnp.ndarray, WB: int) -> jnp.ndarray:
+    """[B, C, Hp*WB] -> aproned + tail-padded input for rdb_apply."""
+    return jnp.pad(x_flat, ((0, 0), (0, 0), (5 * WB, 5 * WB + 128)))
+
+
+def from_flat(x_flat: jnp.ndarray, H: int, W: int, WB: int) -> jnp.ndarray:
+    """[B, C, Hp*WB] (no apron) -> [B, H, W, C]."""
+    B, C, _ = x_flat.shape
+    Hp = x_flat.shape[2] // WB
+    x = x_flat.reshape(B, C, Hp, WB)[:, :, :H, 1 : W + 1]
+    return jnp.transpose(x, (0, 2, 3, 1))

@@ -1,0 +1,110 @@
+"""Fused Pallas RDB kernel: exactness vs the XLA scatter oracle.
+
+Runs in Pallas interpret mode on the CPU backend (tiny shapes — interpret
+mode simulates every VMEM op). On-TPU the same kernel measured exact vs the
+f32 dense path and 2.7x the XLA conv throughput (ops/rdb_kernel.py header).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from realsr_tpu.models import rrdbnet as R
+from realsr_tpu.ops import rdb_kernel as K
+
+
+def _mk_params(nf, gc, seed=0):
+    rng = np.random.default_rng(seed)
+    cins = [nf, nf + gc, nf + 2 * gc, nf + 3 * gc, nf + 4 * gc]
+    couts = [gc] * 4 + [nf]
+    p = {}
+    for i, (ci, co) in enumerate(zip(cins, couts), 1):
+        p[f"w{i}"] = rng.normal(0, 0.15, (3, 3, ci, co)).astype(np.float32)
+        p[f"b{i}"] = rng.normal(0, 0.05, (co,)).astype(np.float32)
+    return p
+
+
+@pytest.mark.parametrize("hw", [(10, 13), (8, 8), (12, 5)])
+def test_kernel_matches_scatter_oracle(hw):
+    H, W = hw
+    nf, gc = 16, 8
+    p = _mk_params(nf, gc)
+    sp = R.repack_scatter({"rdb": p})["rdb"]
+    x = np.random.default_rng(1).random((2, H, W, nf)).astype(np.float32)
+    ref = R._rdb_scatter(jnp.asarray(x), sp, jnp.float32)
+
+    WB = K.round_wb(W)
+    BLK, nblk = K.plan_rows(H, target_blk=4)
+    kp = K.pack_rdb_params(sp, dtype=jnp.float32)
+    xf = K.to_flat(jnp.asarray(x), WB, BLK * nblk)
+    yf = K.rdb_apply(
+        xf, kp, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc, interpret=True
+    )
+    y = K.from_flat(yf, H, W, WB)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(y), atol=2e-5)
+
+
+def test_kernel_chain_via_re_apron():
+    """Two chained fused RDBs == two chained oracle RDBs (layout is
+    self-sustaining: masks re-zero the pad regions every call)."""
+    H, W = 9, 11
+    nf, gc = 16, 8
+    p = _mk_params(nf, gc, seed=3)
+    sp = R.repack_scatter({"rdb": p})["rdb"]
+    x = np.random.default_rng(4).random((1, H, W, nf)).astype(np.float32)
+    ref = R._rdb_scatter(
+        R._rdb_scatter(jnp.asarray(x), sp, jnp.float32), sp, jnp.float32
+    )
+
+    WB = K.round_wb(W)
+    BLK, nblk = K.plan_rows(H, target_blk=5)
+    kp = K.pack_rdb_params(sp, dtype=jnp.float32)
+    kw = dict(H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc, interpret=True)
+    yf = K.rdb_apply(K.to_flat(jnp.asarray(x), WB, BLK * nblk), kp, **kw)
+    yf = K.rdb_apply(K.re_apron(yf, WB), kp, **kw)
+    y = K.from_flat(yf, H, W, WB)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(y), atol=2e-5)
+
+
+def test_flat_layout_roundtrip():
+    x = np.random.default_rng(0).random((2, 7, 9, 4)).astype(np.float32)
+    WB = K.round_wb(9)
+    xf = K.to_flat(jnp.asarray(x), WB, Hp=8)
+    strip = xf[:, :, 5 * WB : 5 * WB + 8 * WB]
+    back = K.from_flat(strip, 7, 9, WB)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_forward_pallas_variant_matches_dense():
+    """Full tiny RRDBNet forward: variant='pallas' (interpret) == dense."""
+    from realsr_tpu.models.rrdbnet import (
+        RRDBNetSpec,
+        init_rrdbnet_params,
+        repack_scatter,
+        rrdbnet_forward,
+    )
+
+    spec = RRDBNetSpec(num_rrdb=2, nf=16, gc=8)
+    p = init_rrdbnet_params(spec, seed=7)
+    pp = dict(p)
+    pp["rdb"] = jax.tree.map(
+        np.asarray,
+        K.pack_rdb_params(repack_scatter(p)["rdb"], dtype=jnp.float32),
+    )
+    x = np.random.default_rng(8).random((1, 12, 10, 3)).astype(np.float32)
+    ref = rrdbnet_forward(p, x, spec, storage_dtype=jnp.float32)
+    # route the variant's kernel calls through interpret mode
+    import functools
+
+    orig = K.rdb_apply
+    K.rdb_apply = functools.partial(orig, interpret=True)
+    try:
+        got = rrdbnet_forward(
+            pp, x, spec, storage_dtype=jnp.float32, variant="pallas"
+        )
+    finally:
+        K.rdb_apply = orig
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-5
+    )
