@@ -92,10 +92,11 @@ def auto_tilesize(heap_budget_mb: int, is_cpu: bool = False) -> int:
 
 
 # measured per-padded-pixel forward cost on TPU v5e, relative to tile 128
-# at the granule batch (tools/tpu_sweep.py; dense variant, batch 8):
-# t128 1.036us/px, t192 1.074us/px, t256+ >= 2x — larger tiles trip XLA
-# into a slower conv schedule, so they are not worth their smaller halo.
-_TILE_COST = {128: 1.00, 192: 1.04}
+# at the granule batch (tools/tpu_sweep.py, fused pallas RDB kernel, batch
+# 8): t128 0.564us/px, t192 0.511us/px — larger tiles amortize the kernel's
+# halo recompute and layout transposes. (XLA dense variant measures ~flat:
+# 1.036 vs 1.074us/px; t256+ trips XLA into a 2x slower conv schedule.)
+_TILE_COST = {128: 1.00, 192: 0.91}
 
 
 def pick_tilesize(

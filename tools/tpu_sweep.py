@@ -59,7 +59,6 @@ def main() -> int:
 
     spec = RRDBNetSpec()
     params = init_rrdbnet_params(spec, seed=0)
-    params_sc = None
 
     pad = 10
     reps = args.reps or (3 if args.quick else 6)
@@ -74,10 +73,21 @@ def main() -> int:
 
     results = []
     rng = np.random.default_rng(0)
-    for variant in ("dense", "scatter"):
-        if variant == "scatter" and params_sc is None:
-            params_sc = jax.device_put(repack_scatter(params))
-        p = params_sc if variant == "scatter" else params
+    variants = ("pallas", "dense", "scatter")
+    if jax.devices()[0].platform == "cpu":
+        variants = ("dense", "scatter")  # Mosaic kernels are TPU-only
+    for variant in variants:
+        if variant == "scatter":
+            p = repack_scatter(params)
+        elif variant == "pallas":
+            from realsr_tpu.ops.rdb_kernel import pack_rdb_params
+
+            p = dict(params)
+            p["rdb"] = pack_rdb_params(
+                repack_scatter(params)["rdb"], dtype=jnp.bfloat16
+            )
+        else:
+            p = params
         p = jax.device_put(p)
         for tile, batch in grid:
             side = tile + 2 * pad
