@@ -168,8 +168,10 @@ class RealSR:
         self.storage_dtype = dtype
         variant = self.config.variant
         if variant == "auto":
-            single_accel = self.mesh is None and self.device.platform != "cpu"
-            variant = "pallas" if single_accel else "dense"
+            # fused Pallas kernel on any accelerator (Mosaic is TPU-only;
+            # under a mesh the forward runs per device inside shard_map),
+            # plain XLA convs on CPU.
+            variant = "pallas" if self.device.platform != "cpu" else "dense"
         self.variant = variant
         self.bundle = load_model(
             parampath, modelpath, storage_dtype=dtype, variant=variant
@@ -182,6 +184,24 @@ class RealSR:
 
     def _build_jits(self) -> None:
         forward = self.bundle.forward
+        if self.mesh is not None and self.variant == "pallas":
+            # GSPMD cannot partition a custom call over the batch, so the
+            # kernel path becomes an explicit shard_map island: params
+            # replicated, tile batch sharded, zero collectives inside
+            # (tiles are embarrassingly parallel — SURVEY.md §2.2 #3).
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            forward = shard_map(
+                self.bundle.forward,
+                mesh=self.mesh,
+                in_specs=(P(), P(TILE_AXIS)),
+                out_specs=P(TILE_AXIS),
+                # pallas_call outputs carry no varying-mesh-axes metadata
+                check_vma=False,
+            )
         scale = self.scale
         pad = self.prepadding
         dtype = self.storage_dtype

@@ -215,7 +215,7 @@ def rdb_apply(
     kernel = functools.partial(
         _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nf=nf, gc=gc
     )
-    rep = pl.BlockSpec(memory_space=pltpu.ANY)
+    rep = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,

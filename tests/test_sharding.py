@@ -61,3 +61,35 @@ def test_submesh(tiny_model_dir, rng):
     e.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
     img = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
     assert e.process(img).shape == (80, 80, 3)
+
+
+def test_mesh_pallas_shard_map(tiny_model_dir, rng):
+    """variant='pallas' under a mesh runs the fused kernel per device inside
+    shard_map (interpret mode on the CPU mesh) and matches the dense mesh
+    engine."""
+    import functools
+
+    from realsr_tpu.ops import rdb_kernel as K
+
+    mesh = make_mesh(jax.devices()[:4])
+    img = rng.integers(0, 256, (40, 36, 3), dtype=np.uint8)
+
+    dense = RealSR(
+        config=EngineConfig(tilesize=16, storage="float32", variant="dense"),
+        mesh=mesh,
+    )
+    dense.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    want = dense.process(img)
+
+    orig = K.rdb_apply
+    K.rdb_apply = functools.partial(orig, interpret=True)
+    try:
+        pal = RealSR(
+            config=EngineConfig(tilesize=16, storage="float32", variant="pallas"),
+            mesh=mesh,
+        )
+        pal.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+        got = pal.process(img)
+    finally:
+        K.rdb_apply = orig
+    assert_u8_close(want, got)
