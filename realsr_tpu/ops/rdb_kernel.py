@@ -44,8 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 LRELU_SLOPE = 0.2
 RESIDUAL_SCALE = 0.2
 
-_G = 256  # guard lanes each side of the VMEM window (>= WB+1, lane-aligned)
 _CH = 1920  # lane-chunk for stage matmuls (15 lane tiles)
+
+
+def _guard_lanes(wb: int) -> int:
+    """Guard lanes each side of the VMEM window: must cover the largest tap
+    offset (WB+1), kept 128-lane aligned."""
+    return max(256, -(-(wb + 2) // 128) * 128)
 
 
 def round_wb(w: int) -> int:
@@ -95,6 +100,7 @@ def _rdb_kernel(
 ):
     R0 = BLK + 10
     FLAT = R0 * WB
+    _G = _guard_lanes(WB)
     nch = -(-FLAT // _CH)
     padf = nch * _CH  # chunk grid, 128-aligned; tail lanes compute garbage
     # DMA sizes must be 128-lane aligned; the over-read beyond FLAT lands in
@@ -211,6 +217,7 @@ def rdb_apply(
     B = x_flat.shape[0]
     R0 = BLK + 10
     FLAT = R0 * WB
+    _G = _guard_lanes(WB)
     padf = -(-FLAT // _CH) * _CH
     kernel = functools.partial(
         _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nf=nf, gc=gc

@@ -91,12 +91,29 @@ def auto_tilesize(heap_budget_mb: int, is_cpu: bool = False) -> int:
     return 32
 
 
-# measured per-padded-pixel forward cost on TPU v5e, relative to tile 128
-# at the granule batch (tools/tpu_sweep.py, fused pallas RDB kernel, batch
-# 8): t128 0.564us/px, t192 0.511us/px — larger tiles amortize the kernel's
-# halo recompute and layout transposes. (XLA dense variant measures ~flat:
-# 1.036 vs 1.074us/px; t256+ trips XLA into a 2x slower conv schedule.)
-_TILE_COST = {128: 1.00, 192: 0.91}
+# measured per-padded-pixel forward cost on TPU v5e by padded tile side
+# (fused pallas RDB kernel, batch 8, interleaved min-of-rounds — the shared
+# TPU host's absolute throughput swings 30-60% between processes, so only
+# within-process ratios matter): 0.675 / 0.629 / 0.568 us/px at padded side
+# 148 / 212 / 276 — larger tiles amortize the kernel's halo recompute and
+# per-dispatch overhead. (The XLA dense variant instead falls off a cliff
+# beyond t192; its engine path is only used on CPU, where the reference's
+# fixed tile 200 applies.)
+_TILE_CANDIDATES = (128, 192, 256)
+_RATE_ANCHORS = ((148, 1.00), (212, 0.93), (276, 0.84))
+
+
+def _px_rate(ph: int, pw: int) -> float:
+    """Relative per-padded-pixel cost for a bucket, from its padded side."""
+    side = (ph * pw) ** 0.5
+    (s0, r0), *rest = _RATE_ANCHORS
+    if side <= s0:
+        return r0
+    for s1, r1 in rest:
+        if side <= s1:
+            return r0 + (r1 - r0) * (side - s0) / (s1 - s0)
+        s0, r0 = s1, r1
+    return r0
 
 
 def pick_tilesize(
@@ -111,19 +128,18 @@ def pick_tilesize(
     ``ceil(n_bucket/granule) * granule * padded_h * padded_w`` — tiles are
     chunk-padded to the batching granule (engine) and halo-padded by
     ``prepadding`` (planner), so both pad-waste sources depend on how the
-    tile grid lands on the image — weighted by the tile size's measured
-    per-pixel cost (_TILE_COST). Ties break toward larger tiles (fewer
+    tile grid lands on the image — weighted by the bucket's measured
+    per-pixel cost (_px_rate). Ties break toward larger tiles (fewer
     dispatches).
     """
     best = None
-    for t, rate in _TILE_COST.items():
+    for t in _TILE_CANDIDATES:
         plan = plan_tiles(w, h, t, prepadding)
-        cost = 0
+        cost = 0.0
         for (ph, pw), idxs in plan.buckets.items():
             n = len(idxs)
             nb = min(granule, 1 << (n - 1).bit_length())
-            cost += -(-n // nb) * nb * ph * pw
-        cost *= rate
+            cost += -(-n // nb) * nb * ph * pw * _px_rate(ph, pw)
         if best is None or cost < best[0] or (cost == best[0] and t > best[1]):
             best = (cost, t)
     return best[1]

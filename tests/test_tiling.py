@@ -45,11 +45,19 @@ def test_auto_tilesize_reference_tiers():
 
 
 def test_pick_tilesize_minimizes_pad_waste():
-    from realsr_tpu.tiling.planner import _TILE_COST, pick_tilesize
+    from realsr_tpu.tiling.planner import (
+        _TILE_CANDIDATES,
+        _px_rate,
+        pick_tilesize,
+    )
 
-    # exact-fit images pick the exactly-fitting candidate
-    assert pick_tilesize(1024, 1024, 10) == 128
-    assert pick_tilesize(192, 192, 10) == 192
+    # big images pick the largest (cheapest-per-pixel) tile when the grid
+    # fits without chunk-pad waste
+    assert pick_tilesize(1024, 1024, 10) == 256
     # result is always a candidate
     for wh in [(1, 1), (33, 17), (640, 480), (4096, 2160)]:
-        assert pick_tilesize(*wh, 10) in _TILE_COST
+        assert pick_tilesize(*wh, 10) in _TILE_CANDIDATES
+    # rate is monotone non-increasing in bucket size and clamped
+    assert _px_rate(10, 10) == 1.0
+    assert _px_rate(276, 276) <= _px_rate(212, 212) <= _px_rate(148, 148)
+    assert _px_rate(4000, 4000) == _px_rate(276, 276)
