@@ -173,15 +173,25 @@ def repack_scatter(params):
     return new
 
 
-def _rrdb_trunk_pallas(rdb_params, fea, spec, storage_dtype):
-    """23-block trunk via the fused Pallas RDB kernel (ops.rdb_kernel).
+def _forward_pallas(params, x, spec, storage_dtype):
+    """Forward with the 23-block trunk on the fused Pallas RDB kernel
+    (ops.rdb_kernel) and the tail (trunk conv + upsampler + HR + last) as
+    XLA convs.
 
-    ``rdb_params``: kernel-packed stacked params (loader packs via
-    repack_scatter + ops.rdb_kernel.pack_rdb_params). The scan carries the
-    kernel's flat transposed layout; per RRDB: 3 fused kernel calls + the
-    0.2-scaled residual, all on-layout (transposes only at trunk entry/exit).
+    The trunk is ~83% of wall time and the kernel runs it 2.7x faster than
+    XLA; a fully-flat tail (generic conv3x3 kernel + flat nearest-x2) was
+    ALSO built and measured — numerically exact but 30% SLOWER end-to-end
+    (450 vs 345 ms at t256 b8): the tail's Cout=64 convs give the
+    transposed-matmul formulation an M of only 64 (MXU pipeline-fill
+    bound), and the flat-layout pixel replication is a large lane shuffle,
+    while XLA fuses upsample+conv+lrelu at 4x resolution reasonably well.
+    So the kernel boundary is exactly the RDB trunk.
     """
     from realsr_tpu.ops import rdb_kernel as RK
+
+    x = x.astype(storage_dtype)
+    fea = _conv3x3(x, params["conv_first"]["w"], params["conv_first"]["b"])
+    fea = fea.astype(storage_dtype)
 
     B, H, W, nf = fea.shape
     gc = spec.gc
@@ -205,8 +215,19 @@ def _rrdb_trunk_pallas(rdb_params, fea, spec, storage_dtype):
         ).astype(storage_dtype)
         return RK.re_apron(out, WB), None
 
-    tf, _ = jax.lax.scan(rrdb_body, t0, rdb_params)
-    return RK.from_flat(tf[:, :, 5 * WB : 5 * WB + Hp * WB], H, W, WB)
+    tf, _ = jax.lax.scan(rrdb_body, t0, params["rdb"])
+    body = RK.from_flat(tf[:, :, 5 * WB : 5 * WB + Hp * WB], H, W, WB)
+
+    trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"])
+    fea = (fea.astype(jnp.float32) + trunk).astype(storage_dtype)
+    for s in range(spec.num_upsample):
+        up = jax.tree.map(lambda a: a[s], params["up"])
+        fea = nearest_x2(fea)
+        fea = _conv3x3(fea, up["w"], up["b"], LRELU_SLOPE).astype(storage_dtype)
+    fea = _conv3x3(fea, params["hr"]["w"], params["hr"]["b"], LRELU_SLOPE).astype(
+        storage_dtype
+    )
+    return _conv3x3(fea, params["last"]["w"], params["last"]["b"])
 
 
 def rrdbnet_forward(
@@ -233,28 +254,27 @@ def rrdbnet_forward(
     'pallas' = fused whole-block TPU kernel (ops.rdb_kernel; same math,
     ~2.2x the XLA conv throughput on v5e; rdb params must be kernel-packed).
     """
+    if variant == "pallas":
+        return _forward_pallas(params, x, spec, storage_dtype)
+
     x = x.astype(storage_dtype)
     fea = _conv3x3(x, params["conv_first"]["w"], params["conv_first"]["b"])
     fea = fea.astype(storage_dtype)
 
     num_rdb = spec.num_rdb_per_rrdb
+    rdb_fn = _rdb_scatter if variant == "scatter" else _rdb
 
-    if variant == "pallas":
-        body = _rrdb_trunk_pallas(params["rdb"], fea, spec, storage_dtype)
-    else:
-        rdb_fn = _rdb_scatter if variant == "scatter" else _rdb
+    def rrdb_body(t, block_p):
+        u = t
+        for j in range(num_rdb):
+            pj = jax.tree.map(lambda a: a[j], block_p)
+            t = rdb_fn(t, pj, storage_dtype)
+        t = (
+            RESIDUAL_SCALE * t.astype(jnp.float32) + u.astype(jnp.float32)
+        ).astype(storage_dtype)
+        return t, None
 
-        def rrdb_body(t, block_p):
-            u = t
-            for j in range(num_rdb):
-                pj = jax.tree.map(lambda a: a[j], block_p)
-                t = rdb_fn(t, pj, storage_dtype)
-            t = (
-                RESIDUAL_SCALE * t.astype(jnp.float32) + u.astype(jnp.float32)
-            ).astype(storage_dtype)
-            return t, None
-
-        body, _ = jax.lax.scan(rrdb_body, fea, params["rdb"])
+    body, _ = jax.lax.scan(rrdb_body, fea, params["rdb"])
 
     trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"])
     fea = (fea.astype(jnp.float32) + trunk).astype(storage_dtype)

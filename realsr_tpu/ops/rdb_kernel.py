@@ -293,3 +293,4 @@ def from_flat(x_flat: jnp.ndarray, H: int, W: int, WB: int) -> jnp.ndarray:
     Hp = x_flat.shape[2] // WB
     x = x_flat.reshape(B, C, Hp, WB)[:, :, :H, 1 : W + 1]
     return jnp.transpose(x, (0, 2, 3, 1))
+

@@ -97,14 +97,14 @@ def test_forward_pallas_variant_matches_dense():
     # route the variant's kernel calls through interpret mode
     import functools
 
-    orig = K.rdb_apply
-    K.rdb_apply = functools.partial(orig, interpret=True)
+    orig_rdb = K.rdb_apply
+    K.rdb_apply = functools.partial(orig_rdb, interpret=True)
     try:
         got = rrdbnet_forward(
             pp, x, spec, storage_dtype=jnp.float32, variant="pallas"
         )
     finally:
-        K.rdb_apply = orig
+        K.rdb_apply = orig_rdb
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-5
     )
