@@ -28,8 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -39,16 +38,11 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from realsr_tpu.loader import ModelBundle, load_model
-from realsr_tpu.parallel.mesh import TILE_AXIS, replicated, tile_sharded
+from realsr_tpu.parallel.mesh import TILE_AXIS, replicated
 from realsr_tpu.ops.pad import reflect101_pad2d
 from realsr_tpu.ops.resize import bicubic_x4, resize_nhwc
 from realsr_tpu.ops.tta import NUM_TRANSFORMS, d4_inverse, d4_transform
-from realsr_tpu.tiling.planner import (
-    TilePlan,
-    auto_tilesize,
-    pick_tilesize,
-    plan_tiles,
-)
+from realsr_tpu.tiling.planner import auto_tilesize, pick_tilesize, plan_tiles
 from realsr_tpu.utils.trace import maybe_start_profiler, tracer
 
 
@@ -59,9 +53,9 @@ class EngineConfig:
     storage: str = "auto"  # "auto" | "float32" | "bfloat16"
     max_batch: int = 0  # 0 = auto from tilesize
     # RDB conv formulation: "auto" | "dense" | "scatter" | "pallas".
-    # auto = the fused Pallas kernel on a single TPU device (2.2x the XLA
-    # conv throughput, ops.rdb_kernel), plain XLA convs on CPU and under a
-    # mesh (GSPMD cannot partition a custom call over the tile batch).
+    # auto = the fused Pallas kernel on accelerators (2.7x the XLA conv
+    # throughput, ops.rdb_kernel; under a mesh it runs per device inside a
+    # shard_map island), plain XLA convs on CPU.
     variant: str = "auto"
     compilation_cache: bool = True
 

@@ -31,8 +31,7 @@ self-sustaining across the 69 chained RDB calls of the 23-block trunk.
 from __future__ import annotations
 
 import functools
-import math
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -93,3 +93,15 @@ def test_mesh_pallas_shard_map(tiny_model_dir, rng):
     finally:
         K.rdb_apply = orig
     assert_u8_close(want, got)
+
+
+def test_mesh_tta_matches_single(tiny_model_dir, rng):
+    """TTA ensembling under a mesh == TTA on one device (the 8 dihedral
+    variants batch through the sharded forward)."""
+    cfg = EngineConfig(tilesize=16, storage="float32")
+    img = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    single = RealSR(gpuid=-1, tta_mode=True, config=cfg, device=jax.devices()[0])
+    single.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    sharded = RealSR(tta_mode=True, config=cfg, mesh=make_mesh(jax.devices()[:4]))
+    sharded.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    assert_u8_close(single.process(img), sharded.process(img))
