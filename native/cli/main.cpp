@@ -319,6 +319,27 @@ int main(int argc, char** argv) {
     return -1;
   }
 
+  // Multi-host (DCN) mode: split the file list across processes — hosts
+  // never communicate (tiles never cross chips). Same contract as the
+  // Python CLI (realsr_tpu/cli.py).
+  const char* shard_env = std::getenv("REALSR_TPU_SHARD");
+  const char* nshard_env = std::getenv("REALSR_TPU_NUM_SHARDS");
+  if (nshard_env && std::atoi(nshard_env) > 1) {
+    int num_shards = std::atoi(nshard_env);
+    int shard = shard_env ? std::atoi(shard_env) : -1;
+    if (shard < 0 || shard >= num_shards) {
+      std::fprintf(stderr, "invalid REALSR_TPU_SHARD / REALSR_TPU_NUM_SHARDS\n");
+      return -1;
+    }
+    std::vector<std::string> in2, out2;
+    for (size_t i = shard; i < input_files.size(); i += num_shards) {
+      in2.push_back(input_files[i]);
+      out2.push_back(output_files[i]);
+    }
+    input_files.swap(in2);
+    output_files.swap(out2);
+  }
+
   int prepadding = 0;
   if (model.find("models-DF2K") != std::string::npos) {
     prepadding = 10;  // main.cpp:661-667

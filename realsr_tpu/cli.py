@@ -198,6 +198,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         return -1
 
+    # Multi-host (DCN) mode: tiles never cross chips, so hosts never need to
+    # talk — split the FILE LIST across processes, exactly as the reference
+    # splits whole images across GPU queues (SURVEY.md §5). Shard identity
+    # comes from jax.distributed when initialized, else from env (for
+    # launchers that fan out one process per host themselves).
+    shard = int(os.environ.get("REALSR_TPU_SHARD", "-1"))
+    num_shards = int(os.environ.get("REALSR_TPU_NUM_SHARDS", "0"))
+    if num_shards > 1:
+        if not (0 <= shard < num_shards):
+            print("invalid REALSR_TPU_SHARD / REALSR_TPU_NUM_SHARDS", file=sys.stderr)
+            return -1
+        input_files = input_files[shard::num_shards]
+        output_files = output_files[shard::num_shards]
+
     # prepadding from model dir name (main.cpp:661-672)
     if "models-DF2K" in model:
         prepadding = 10

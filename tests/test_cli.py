@@ -151,3 +151,37 @@ def test_usage_exit_code(cli_model_dir):
     r = run_cli(["-h"])
     assert r.returncode == 255
     assert "Usage:" in r.stderr
+
+
+def test_multihost_file_shard(tmp_path, monkeypatch, capsys):
+    """REALSR_TPU_SHARD/NUM_SHARDS split the directory file list (the
+    multi-host DCN mode: hosts never communicate, SURVEY.md §5)."""
+    import numpy as np
+
+    from realsr_tpu.io.codecs import encode_image
+    from realsr_tpu.ncnn.synth import make_model_dir
+    from tests.conftest import TINY_SPEC
+
+    ind = tmp_path / "in"
+    outd = tmp_path / "out"
+    ind.mkdir()
+    outd.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        encode_image(
+            str(ind / f"{i}.png"),
+            rng.integers(0, 256, (6, 5, 3), dtype=np.uint8),
+        )
+    mdir = tmp_path / "m-models-DF2K"
+    make_model_dir(str(mdir), TINY_SPEC, seed=0)
+
+    from realsr_tpu import cli
+
+    monkeypatch.setenv("REALSR_TPU_NUM_SHARDS", "2")
+    monkeypatch.setenv("REALSR_TPU_SHARD", "1")
+    rc = cli.main(
+        ["-i", str(ind), "-o", str(outd), "-g", "-1", "-m", str(mdir), "-t", "32"]
+    )
+    assert rc == 0
+    got = sorted(p.name for p in outd.iterdir())
+    assert got == ["1.png", "3.png"]  # shard 1 of 2 over the sorted listing
