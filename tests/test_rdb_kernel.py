@@ -108,3 +108,18 @@ def test_forward_pallas_variant_matches_dense():
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-5
     )
+
+
+def test_upconv_x2_equals_nearest_plus_conv():
+    """The stride-2 transposed-conv upsampler (tap-sum 4x4 kernel) is the
+    exact algebra of nearest-x2 -> conv3x3 -> lrelu."""
+    from realsr_tpu.models.rrdbnet import _conv3x3, _lrelu, _upconv_x2
+    from realsr_tpu.ops.resize import nearest_x2
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.random((2, 7, 9, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.3, (3, 3, 8, 4)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (4,)).astype(np.float32))
+    ref = _lrelu(_conv3x3(nearest_x2(x), w, b, None))
+    got = _upconv_x2(x, w, b)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
