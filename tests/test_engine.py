@@ -156,3 +156,40 @@ def test_rejects_bad_input(engine):
         engine.process(np.zeros((4, 4, 3), dtype=np.float32))
     with pytest.raises(RuntimeError):
         RealSR(gpuid=-1).process(np.zeros((4, 4, 3), dtype=np.uint8))
+
+
+def test_engine_generic_graph_fallback(tmp_path, rng):
+    """A valid ncnn graph that is NOT an RRDBNet runs through the generic
+    executor behind the same engine facade (SURVEY.md §2: arbitrary param
+    files must still load — ncnn's Net does)."""
+    from realsr_tpu.engine import EngineConfig, RealSR
+    from realsr_tpu.ncnn.bin import write_weights
+    from realsr_tpu.ncnn.param import NCNN_MAGIC, parse_param
+    from realsr_tpu.ncnn.synth import synth_weights
+
+    # Input -> conv(3->8, lrelu) -> nearest x4 -> conv(8->3)
+    text = "\n".join(
+        [
+            str(NCNN_MAGIC),
+            "4 4",
+            "Input            data  0 1 data",
+            "Convolution      c1    1 1 data b1 0=8 1=3 4=1 5=1 6=216"
+            " 9=2 -23310=1,2.000000e-01",
+            "Interp           up    1 1 b1 b2 0=1 1=4.000000e+00 2=4.000000e+00",
+            "Convolution      c2    1 1 b2 b3 0=3 1=3 4=1 5=1 6=216",
+            "",
+        ]
+    )
+    graph = parse_param(text)
+    ppath = tmp_path / "x4.param"
+    bpath = tmp_path / "x4.bin"
+    ppath.write_text(text)
+    write_weights(graph, synth_weights(graph, seed=3), str(bpath))
+
+    eng = RealSR(gpuid=-1, config=EngineConfig(tilesize=32, storage="float32"))
+    eng.load(str(ppath), str(bpath))
+    assert eng.bundle.spec is None  # generic executor path
+    assert eng.scale == 4
+    img = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    out = eng.process(img)
+    assert out.shape == (80, 96, 3) and out.dtype == np.uint8
