@@ -59,11 +59,17 @@ def round_wb(w: int) -> int:
     return -(-(w + 2) // 32) * 32
 
 
-def plan_rows(h: int, target_blk: int = 56):
+def plan_rows(h: int, target_blk: int = 0):
     """(BLK, nblk): row-block size (multiple of 4) and count;
-    Hp = BLK*nblk >= h. Default target from the v5e BLK sweep (BLK 52x3 at
-    H=148 measured 96 TF/s vs 86 at 40x4/76x2 — ~20% halo recompute is the
-    sweet spot against VMEM pressure)."""
+    Hp = BLK*nblk >= h.
+
+    Targets from v5e interleaved sweeps: small tiles (H<=212) run best at
+    BLK~52 (larger blocks measured SLOWER despite less halo recompute —
+    VMEM working-set pressure); big tiles (H>=240, i.e. tile 256) run best
+    at BLK~92 (78 vs 72 TF/s against BLK 56; BLK 120+ regresses or exceeds
+    VMEM). Explicit ``target_blk`` overrides (used by tests)."""
+    if not target_blk:
+        target_blk = 96 if h >= 240 else 56
     nblk = max(1, -(-h // target_blk))
     blk = -(-(-(-h // nblk)) // 4) * 4
     return blk, nblk
