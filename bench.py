@@ -100,7 +100,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "4x upscale output megapixels/sec/chip (DF2K, "
-                f"tile={eng.tilesize}, {size}x{size} input, "
+                f"tile={eng.last_tilesize}, {size}x{size} input, "
                 f"{str(np.dtype(eng.storage_dtype).name)})",
                 "value": round(mps, 3),
                 "unit": "MP/s",

@@ -203,8 +203,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     # splits whole images across GPU queues (SURVEY.md §5). Shard identity
     # comes from jax.distributed when initialized, else from env (for
     # launchers that fan out one process per host themselves).
-    shard = int(os.environ.get("REALSR_TPU_SHARD", "-1"))
-    num_shards = int(os.environ.get("REALSR_TPU_NUM_SHARDS", "0"))
+    shard = _atoi(os.environ.get("REALSR_TPU_SHARD", "-1"))
+    num_shards = _atoi(os.environ.get("REALSR_TPU_NUM_SHARDS", "0"))
     if num_shards > 1:
         if not (0 <= shard < num_shards):
             print("invalid REALSR_TPU_SHARD / REALSR_TPU_NUM_SHARDS", file=sys.stderr)

@@ -162,10 +162,12 @@ class RealSR:
         self.storage_dtype = dtype
         variant = self.config.variant
         if variant == "auto":
-            # fused Pallas kernel on any accelerator (Mosaic is TPU-only;
-            # under a mesh the forward runs per device inside shard_map),
-            # plain XLA convs on CPU.
-            variant = "pallas" if self.device.platform != "cpu" else "dense"
+            # fused Pallas kernel on TPU-like backends only (Mosaic cannot
+            # target CPU or GPU; under a mesh the forward runs per device
+            # inside shard_map), plain XLA convs elsewhere.
+            variant = (
+                "pallas" if self.device.platform not in ("cpu", "gpu") else "dense"
+            )
         self.variant = variant
         self.bundle = load_model(
             parampath, modelpath, storage_dtype=dtype, variant=variant
@@ -183,19 +185,22 @@ class RealSR:
             # kernel path becomes an explicit shard_map island: params
             # replicated, tile batch sharded, zero collectives inside
             # (tiles are embarrassingly parallel — SURVEY.md §2.2 #3).
-            try:
-                from jax import shard_map
-            except ImportError:  # older jax
-                from jax.experimental.shard_map import shard_map
-
-            forward = shard_map(
-                self.bundle.forward,
+            # pallas_call outputs carry no varying-mesh-axes metadata, so
+            # replication checking must be off (kwarg name differs by
+            # jax version: check_vma since 0.8, check_rep before).
+            kw = dict(
                 mesh=self.mesh,
                 in_specs=(P(), P(TILE_AXIS)),
                 out_specs=P(TILE_AXIS),
-                # pallas_call outputs carry no varying-mesh-axes metadata
-                check_vma=False,
             )
+            try:
+                from jax import shard_map
+
+                forward = shard_map(self.bundle.forward, check_vma=False, **kw)
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+                forward = shard_map(self.bundle.forward, check_rep=False, **kw)
         scale = self.scale
         pad = self.prepadding
         dtype = self.storage_dtype
@@ -333,7 +338,18 @@ class RealSR:
         pad = self.prepadding
 
         maybe_start_profiler()
-        tilesize = self.tilesize or pick_tilesize(w, h, pad)
+        if self.tilesize:
+            tilesize = self.tilesize
+        else:
+            # model the REAL chunk-pad granule (TTA batches 1 tile x 8
+            # variants; mesh rounds to a device multiple) and restrict to
+            # tiles the active conv formulation handles well (the XLA dense
+            # path regresses beyond t192, planner._RATE_ANCHORS comment)
+            ndev = self.mesh.size if self.mesh is not None else 1
+            g = self.config.max_batch or _auto_batch(256, self.tta_mode)
+            g = -(-g // ndev) * ndev
+            cands = (128, 192, 256) if self.variant == "pallas" else (128, 192)
+            tilesize = pick_tilesize(w, h, pad, granule=g, candidates=cands)
         self.last_tilesize = tilesize
         plan = plan_tiles(w, h, tilesize, pad)
         where = replicated(self.mesh) if self.mesh is not None else self.device

@@ -70,16 +70,13 @@ def load_model(
         spec = match.spec
         params = extract_stacked_params(match, weights)
         if variant == "scatter":
-            params = jax.tree.map(np.asarray, repack_scatter(params))
+            params = repack_scatter(params)  # numpy in -> numpy out
         elif variant == "pallas":
             from realsr_tpu.ops.rdb_kernel import pack_rdb_params
 
             params = dict(params)
-            params["rdb"] = jax.tree.map(
-                np.asarray,
-                pack_rdb_params(
-                    repack_scatter(params)["rdb"], dtype=storage_dtype
-                ),
+            params["rdb"] = pack_rdb_params(
+                repack_scatter(params)["rdb"], dtype=storage_dtype
             )
 
         def forward(p, x):

@@ -153,8 +153,12 @@ def repack_scatter(params):
     s=1..4 are c1..c4 with gc channels), concatenate along OUTPUT channels
     the slices of w_{i} (i>s) that multiply source s. Input-channel offsets
     in conv_i's weight: x at [0, nf), c_j at [nf+(j-1)*gc, nf+j*gc).
+
+    Stays in numpy for numpy inputs (load-time repacking must not round-trip
+    the weights through a device).
     """
     rdb = params["rdb"]
+    xp = np if isinstance(rdb["w1"], np.ndarray) else jnp
     nf = rdb["w1"].shape[-2]  # conv1 Cin = nf
     gc = rdb["w1"].shape[-1]
 
@@ -167,7 +171,7 @@ def repack_scatter(params):
     out = {f"b{i}": rdb[f"b{i}"] for i in range(1, 6)}
     for s in range(5):
         parts = [src_slice(i, s) for i in range(s + 1, 6)]
-        out[f"sw{s}"] = jnp.concatenate(parts, axis=-1)
+        out[f"sw{s}"] = xp.concatenate(parts, axis=-1)
     new = dict(params)
     new["rdb"] = out
     return new

@@ -261,15 +261,20 @@ def pack_rdb_params(scatter_rdb: Dict[str, Any], dtype=jnp.bfloat16):
     sw_s [..., 3, 3, cin, n_out] (HWIO) -> w_s [..., n_out, 9*cin] with the
     contraction index ordered (tap row-major) x cin, matching the kernel's
     ``cols`` construction. Biases -> [..., n, 1] f32.
+
+    Stays in numpy for numpy inputs (load-time packing must not round-trip
+    the weights through a device); bf16 casts use ml_dtypes via jnp dtypes,
+    which numpy handles natively.
     """
+    xp = np if isinstance(scatter_rdb["sw0"], np.ndarray) else jnp
     out = {}
     for s in range(5):
-        w = jnp.asarray(scatter_rdb[f"sw{s}"])
+        w = scatter_rdb[f"sw{s}"]
         *lead, kh, kw, cin, n = w.shape
-        w = jnp.moveaxis(w, -1, len(lead))  # [..., n, 3, 3, cin]
+        w = xp.moveaxis(w, -1, len(lead))  # [..., n, 3, 3, cin]
         out[f"w{s}"] = w.reshape(*lead, n, kh * kw * cin).astype(dtype)
     for i in range(1, 6):
-        b = jnp.asarray(scatter_rdb[f"b{i}"]).astype(jnp.float32)
+        b = scatter_rdb[f"b{i}"].astype(jnp.float32)
         out[f"b{i}"] = b[..., None]
     return out
 

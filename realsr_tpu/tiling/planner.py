@@ -121,6 +121,7 @@ def pick_tilesize(
     h: int,
     prepadding: int,
     granule: int = 8,
+    candidates: Tuple[int, ...] = _TILE_CANDIDATES,
 ) -> int:
     """Per-image auto tile size: minimize total padded-tile work.
 
@@ -133,7 +134,7 @@ def pick_tilesize(
     dispatches).
     """
     best = None
-    for t in _TILE_CANDIDATES:
+    for t in candidates:
         plan = plan_tiles(w, h, t, prepadding)
         cost = 0.0
         for (ph, pw), idxs in plan.buckets.items():
