@@ -193,3 +193,13 @@ def test_engine_generic_graph_fallback(tmp_path, rng):
     img = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
     out = eng.process(img)
     assert out.shape == (80, 96, 3) and out.dtype == np.uint8
+
+
+def test_images_smaller_than_halo(engine, rng):
+    """Images smaller than prepadding=10 must still process (reflect-101
+    halo wraps by iterated reflection, like the reference's mirror
+    indexing handles any coordinate)."""
+    for hw in [(6, 5), (1, 1), (10, 3)]:
+        img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+        out = engine.process(img)
+        assert out.shape == (hw[0] * 4, hw[1] * 4, 3)
