@@ -63,13 +63,14 @@ def plan_rows(h: int, target_blk: int = 0):
     """(BLK, nblk): row-block size (multiple of 4) and count;
     Hp = BLK*nblk >= h.
 
-    Targets from v5e interleaved sweeps: small tiles (H<=212) run best at
-    BLK~52 (larger blocks measured SLOWER despite less halo recompute —
-    VMEM working-set pressure); big tiles (H>=240, i.e. tile 256) run best
-    at BLK~92 (78 vs 72 TF/s against BLK 56; BLK 120+ regresses or exceeds
-    VMEM). Explicit ``target_blk`` overrides (used by tests)."""
+    Targets from v5e interleaved min-of-rounds sweeps (ops are noisy
+    between processes; only within-process ratios were used): H=148 best at
+    BLK 52 (76 regresses, 148 ties), H=212 best at BLK 108 (vs 72/56:
+    71/67/63 TF/s), H=276 best at BLK 92 (vs 96/56/120: 78/76/72/63).
+    target 108 maps H>=200 onto those winners (212->108, 276->92); smaller
+    tiles keep ~52. Explicit ``target_blk`` overrides (used by tests)."""
     if not target_blk:
-        target_blk = 96 if h >= 240 else 56
+        target_blk = 108 if h >= 200 else 56
     nblk = max(1, -(-h // target_blk))
     blk = -(-(-(-h // nblk)) // 4) * 4
     return blk, nblk

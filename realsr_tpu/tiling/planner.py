@@ -92,15 +92,15 @@ def auto_tilesize(heap_budget_mb: int, is_cpu: bool = False) -> int:
 
 
 # measured per-padded-pixel forward cost on TPU v5e by padded tile side
-# (fused pallas RDB kernel, batch 8, interleaved min-of-rounds — the shared
-# TPU host's absolute throughput swings 30-60% between processes, so only
-# within-process ratios matter): 0.675 / 0.629 / 0.568 us/px at padded side
-# 148 / 212 / 276 — larger tiles amortize the kernel's halo recompute and
-# per-dispatch overhead. (The XLA dense variant instead falls off a cliff
-# beyond t192; its engine path is only used on CPU, where the reference's
-# fixed tile 200 applies.)
+# (fused pallas RDB kernel, batch 8, H-tuned row blocks, interleaved
+# min-of-rounds — the shared TPU host's absolute throughput swings 30-60%
+# between processes, so only within-process ratios matter): 0.642 / 0.549 /
+# 0.500 us/px at padded side 148 / 212 / 276 — larger tiles amortize the
+# kernel's halo recompute and per-dispatch overhead. (The XLA dense variant
+# instead falls off a cliff beyond t192; its engine path is only used on
+# CPU, where the reference's fixed tile 200 applies.)
 _TILE_CANDIDATES = (128, 192, 256)
-_RATE_ANCHORS = ((148, 1.00), (212, 0.93), (276, 0.84))
+_RATE_ANCHORS = ((148, 1.00), (212, 0.855), (276, 0.78))
 
 
 def _px_rate(ph: int, pw: int) -> float:
