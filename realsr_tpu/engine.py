@@ -412,13 +412,33 @@ class RealSR:
 
 @functools.lru_cache(maxsize=1)
 def _enable_compilation_cache() -> None:
-    """Persist XLA compiles across runs (23-block net compiles are ~30s)."""
-    import os
+    """Persist XLA compiles across runs (23-block net compiles are ~30s).
 
-    path = os.environ.get(
+    The cache dir is scoped by a host fingerprint: XLA:CPU AOT artifacts
+    embed the build machine's ISA features and loading them on a different
+    CPU warns about (and can hit) SIGILL — scoping prevents stale artifacts
+    from a previous host generation being loaded."""
+    import hashlib
+    import os
+    import platform
+
+    base = os.environ.get(
         "REALSR_TPU_CACHE", os.path.expanduser("~/.cache/realsr_tpu_xla")
     )
     try:
+        flags = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        flags = line
+                        break
+        except OSError:
+            pass
+        fp = hashlib.sha1(
+            (platform.machine() + platform.processor() + flags).encode()
+        ).hexdigest()[:10]
+        path = os.path.join(base, fp)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
