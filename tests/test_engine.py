@@ -203,3 +203,45 @@ def test_images_smaller_than_halo(engine, rng):
         img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
         out = engine.process(img)
         assert out.shape == (hw[0] * 4, hw[1] * 4, 3)
+
+
+def test_engine_pixelshuffle_model_family(tmp_path, rng):
+    """A pixel-shuffle (sub-pixel conv) x4 upscaler — the upsampler family
+    the reference's layer zoo enables but its models never use (SURVEY.md
+    §2.8) — loads and runs through the engine via the generic executor."""
+    from realsr_tpu.engine import EngineConfig, RealSR
+    from realsr_tpu.ncnn.bin import write_weights
+    from realsr_tpu.ncnn.param import NCNN_MAGIC, parse_param
+    from realsr_tpu.ncnn.synth import synth_weights
+
+    # Input -> conv(3->16,lrelu) -> conv(16->48) -> shuffle x2 (48->12)
+    #       -> conv(12->48) -> shuffle x2 (48->12) -> conv(12->3)
+    text = "\n".join(
+        [
+            str(NCNN_MAGIC),
+            "6 6",
+            "Input        data 0 1 data",
+            "Convolution  c1 1 1 data b1 0=16 1=3 4=1 5=1 6=432"
+            " 9=2 -23310=1,2.000000e-01",
+            "Convolution  c2 1 1 b1 b2 0=48 1=3 4=1 5=1 6=6912",
+            "PixelShuffle s1 1 1 b2 b3 0=2",
+            "Convolution  c3 1 1 b3 b4 0=48 1=3 4=1 5=1 6=5184",
+            "PixelShuffle s2 1 1 b4 b5 0=2",
+            "",
+        ]
+    )
+    # final shuffle leaves 12 channels; add a last conv to 3
+    text = text.rstrip("\n") + "\n"
+    text = text.replace("6 6", "7 7")
+    text += "Convolution  c4 1 1 b5 b6 0=3 1=3 4=1 5=1 6=324\n"
+    graph = parse_param(text)
+    ppath, bpath = tmp_path / "x4.param", tmp_path / "x4.bin"
+    ppath.write_text(text)
+    write_weights(graph, synth_weights(graph, seed=9), str(bpath))
+
+    eng = RealSR(gpuid=-1, config=EngineConfig(tilesize=32, storage="float32"))
+    eng.load(str(ppath), str(bpath))
+    assert eng.bundle.spec is None and eng.scale == 4
+    img = rng.integers(0, 256, (18, 22, 3), dtype=np.uint8)
+    out = eng.process(img)
+    assert out.shape == (72, 88, 3)
