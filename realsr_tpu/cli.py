@@ -288,5 +288,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         jobs_load=jobs_load,
         jobs_save=jobs_save,
         verbose=verbose,
+        # opportunistic cross-image tile batching (additive feature beyond
+        # the reference's one-image-per-proc-thread model)
+        image_batch=max(1, _atoi(os.environ.get("REALSR_TPU_IMAGE_BATCH", "1"))),
     )
     return 0

@@ -244,7 +244,9 @@ class RealSR:
             ]
             return _round_u8(out)
 
-        def run_bucket(padded, alpha, out_buf, xs, ys, ph, pw, hn, wn, tta, with_alpha):
+        def run_bucket(
+            padded, alpha, out_buf, imgs, xs, ys, ph, pw, hn, wn, tta, with_alpha
+        ):
             """ONE dispatch per bucket: lax.scan over [nc, B] tile-origin
             chunks; each iteration extracts a batch, runs the net, rounds to
             uint8 and scatters into the carried output buffer. Replaces the
@@ -252,22 +254,29 @@ class RealSR:
             (src/realsr.cpp:235-482) with a single device-resident program —
             host round-trips per image drop to O(buckets).
 
-            xs/ys are the tiles' UNPADDED input origins; in padded-image
-            coords the halo start is exactly (ys, xs) (planner docstring).
+            All buffers carry a leading IMAGE axis (padded [N,Hp,Wp,3],
+            out_buf [N,H*s,W*s,C]) and ``imgs`` selects each tile's image —
+            tiles from many same-sized images batch into the same chunks
+            (process_batch), which fills the conv batch granule even when
+            each image is a single tile. xs/ys are the tiles' UNPADDED
+            input origins; in padded-image coords the halo start is exactly
+            (ys, xs) (planner docstring).
             """
 
-            def extract(x0, y0):
-                return jax.lax.dynamic_slice(padded, (y0, x0, 0), (ph, pw, 3))
+            def extract(i, x0, y0):
+                t = jax.lax.dynamic_slice(padded, (i, y0, x0, 0), (1, ph, pw, 3))
+                return t[0]
 
-            def extract_alpha(x0, y0):
-                return jax.lax.dynamic_slice(alpha, (y0, x0, 0), (hn, wn, 1))
+            def extract_alpha(i, x0, y0):
+                t = jax.lax.dynamic_slice(alpha, (i, y0, x0, 0), (1, hn, wn, 1))
+                return t[0]
 
-            def chunk_body(buf, xy):
-                cxs, cys = xy  # [B]
-                tiles = jax.vmap(extract)(cxs, cys)
+            def chunk_body(buf, ixy):
+                cis, cxs, cys = ixy  # [B]
+                tiles = jax.vmap(extract)(cis, cxs, cys)
                 color = tile_color(tiles, ph, pw, hn, wn, tta)
                 if with_alpha:
-                    atiles = jax.vmap(extract_alpha)(cxs, cys)
+                    atiles = jax.vmap(extract_alpha)(cis, cxs, cys)
                     if scale == 1:
                         up = atiles
                     elif scale == 4:
@@ -280,18 +289,18 @@ class RealSR:
                     tiles_u8 = color
 
                 def scat(b, t):
-                    tile, x0, y0 = t
+                    tile, i, x0, y0 = t
                     return jax.lax.dynamic_update_slice(
-                        b, tile, (y0 * scale, x0 * scale, 0)
+                        b, tile[None], (i, y0 * scale, x0 * scale, 0)
                     ), None
 
-                buf, _ = jax.lax.scan(scat, buf, (tiles_u8, cxs, cys))
+                buf, _ = jax.lax.scan(scat, buf, (tiles_u8, cis, cxs, cys))
                 return buf, None
 
-            out_buf, _ = jax.lax.scan(chunk_body, out_buf, (xs, ys))
+            out_buf, _ = jax.lax.scan(chunk_body, out_buf, (imgs, xs, ys))
             return out_buf
 
-        static = (5, 6, 7, 8, 9, 10)
+        static = (6, 7, 8, 9, 10, 11)
         if self.mesh is None:
             self._prep = jax.jit(prep, static_argnums=(1,))
             self._run_bucket = jax.jit(
@@ -299,8 +308,8 @@ class RealSR:
             )
         else:
             # Mesh mode: params/image/output replicated, tile batch axis
-            # (axis 1 of xs/ys) sharded. The only collective is XLA's gather
-            # of per-device tiles into the replicated buffer — all on ICI.
+            # (axis 1 of imgs/xs/ys) sharded. The only collective is XLA's
+            # gather of per-device tiles into the replicated buffer — ICI.
             rep = replicated(self.mesh)
             shd_b = NamedSharding(self.mesh, P(None, TILE_AXIS))
             self._prep = jax.jit(
@@ -313,11 +322,87 @@ class RealSR:
                 run_bucket,
                 static_argnums=static,
                 donate_argnums=(2,),
-                in_shardings=(rep, rep, rep, shd_b, shd_b),
+                in_shardings=(rep, rep, rep, shd_b, shd_b, shd_b),
                 out_shardings=rep,
             )
 
     # -- inference -----------------------------------------------------
+
+    def _pick_tilesize(self, w: int, h: int) -> int:
+        if self.tilesize:
+            return self.tilesize
+        # model the REAL chunk-pad granule (TTA batches 1 tile x 8
+        # variants; mesh rounds to a device multiple) and restrict to
+        # tiles the active conv formulation handles well (the XLA dense
+        # path regresses beyond t192, planner._RATE_ANCHORS comment)
+        ndev = self.mesh.size if self.mesh is not None else 1
+        g = self.config.max_batch or _auto_batch(256, self.tta_mode)
+        g = -(-g // ndev) * ndev
+        cands = (128, 192, 256) if self.variant == "pallas" else (128, 192)
+        return pick_tilesize(w, h, self.prepadding, granule=g, candidates=cands)
+
+    def _process_stack_device(
+        self,
+        images: np.ndarray,  # [N, H, W, C] uint8
+        progress_cb: Optional[Callable[[float], None]] = None,
+    ):
+        """uint8 NHWC -> DEVICE uint8 buffer [N, H*scale, W*scale, C].
+
+        The core program: tiles of ALL images share the bucket batches, so
+        a stack of small same-sized images fills the conv batch granule the
+        way one big image's tile grid does."""
+        if self.bundle is None:
+            raise RuntimeError("call load() first")
+        n_img, h, w, c = images.shape
+        s = self.scale
+        pad = self.prepadding
+
+        maybe_start_profiler()
+        tilesize = self._pick_tilesize(w, h)
+        self.last_tilesize = tilesize
+        plan = plan_tiles(w, h, tilesize, pad)
+        where = replicated(self.mesh) if self.mesh is not None else self.device
+        with tracer.span("h2d+prep"):
+            img_dev = jax.device_put(images, where)
+            padded, alpha = self._prep(img_dev, pad)
+
+        out_buf = jax.device_put(
+            jnp.zeros((n_img, h * s, w * s, c), dtype=jnp.uint8), where
+        )
+
+        ndev = self.mesh.size if self.mesh is not None else 1
+        max_batch = self.config.max_batch or _auto_batch(tilesize, self.tta_mode)
+        max_batch = -(-max_batch // ndev) * ndev  # multiple of mesh size
+        done = 0
+        total = len(plan.tiles) * n_img
+        for (ph, pw), idxs in plan.buckets.items():
+            hn, wn = ph - 2 * pad, pw - 2 * pad
+            pairs = [(i, t) for i in range(n_img) for t in idxs]
+            n = len(pairs)
+            # batch = pow2 (x mesh multiple), capped; tile list padded to a
+            # whole number of chunks — duplicated tiles rewrite identical
+            # bytes on scatter. Shapes stay in a small reusable set so jit
+            # cache hits dominate across images.
+            bsz = min(max_batch, 1 << (n - 1).bit_length())
+            bsz = -(-bsz // ndev) * ndev
+            nc = -(-n // bsz)
+            pairs = pairs + [pairs[-1]] * (nc * bsz - n)
+            imgs = np.asarray([p[0] for p in pairs], np.int32).reshape(nc, bsz)
+            xs = np.asarray(
+                [plan.tiles[p[1]].x0 for p in pairs], np.int32
+            ).reshape(nc, bsz)
+            ys = np.asarray(
+                [plan.tiles[p[1]].y0 for p in pairs], np.int32
+            ).reshape(nc, bsz)
+            with tracer.span("dispatch"):
+                out_buf = self._run_bucket(
+                    padded, alpha, out_buf, imgs, xs, ys, ph, pw, hn, wn,
+                    self.tta_mode, c == 4,
+                )
+            done += n
+            if progress_cb is not None:
+                progress_cb(done / total)
+        return out_buf
 
     def process_device(
         self,
@@ -329,63 +414,9 @@ class RealSR:
         Single entry point for every backend (the reference needs separate
         process/process_cpu, src/realsr.cpp:145/525 — here XLA retargets the
         same program)."""
-        if self.bundle is None:
-            raise RuntimeError("call load() first")
         if image.dtype != np.uint8 or image.ndim != 3 or image.shape[2] not in (3, 4):
             raise ValueError("expected uint8 HWC image with 3 or 4 channels")
-        h, w, c = image.shape
-        s = self.scale
-        pad = self.prepadding
-
-        maybe_start_profiler()
-        if self.tilesize:
-            tilesize = self.tilesize
-        else:
-            # model the REAL chunk-pad granule (TTA batches 1 tile x 8
-            # variants; mesh rounds to a device multiple) and restrict to
-            # tiles the active conv formulation handles well (the XLA dense
-            # path regresses beyond t192, planner._RATE_ANCHORS comment)
-            ndev = self.mesh.size if self.mesh is not None else 1
-            g = self.config.max_batch or _auto_batch(256, self.tta_mode)
-            g = -(-g // ndev) * ndev
-            cands = (128, 192, 256) if self.variant == "pallas" else (128, 192)
-            tilesize = pick_tilesize(w, h, pad, granule=g, candidates=cands)
-        self.last_tilesize = tilesize
-        plan = plan_tiles(w, h, tilesize, pad)
-        where = replicated(self.mesh) if self.mesh is not None else self.device
-        with tracer.span("h2d+prep"):
-            img_dev = jax.device_put(image, where)
-            padded, alpha = self._prep(img_dev, pad)
-
-        out_buf = jax.device_put(jnp.zeros((h * s, w * s, c), dtype=jnp.uint8), where)
-
-        ndev = self.mesh.size if self.mesh is not None else 1
-        max_batch = self.config.max_batch or _auto_batch(tilesize, self.tta_mode)
-        max_batch = -(-max_batch // ndev) * ndev  # multiple of mesh size
-        done = 0
-        total = len(plan.tiles)
-        for (ph, pw), idxs in plan.buckets.items():
-            hn, wn = ph - 2 * pad, pw - 2 * pad
-            n = len(idxs)
-            # batch = pow2 (x mesh multiple), capped; tile list padded to a
-            # whole number of chunks — duplicated tiles rewrite identical
-            # bytes on scatter. Shapes stay in a small reusable set so jit
-            # cache hits dominate across images.
-            bsz = min(max_batch, 1 << (n - 1).bit_length())
-            bsz = -(-bsz // ndev) * ndev
-            nc = -(-n // bsz)
-            idxs = idxs + [idxs[-1]] * (nc * bsz - n)
-            xs = np.asarray([plan.tiles[i].x0 for i in idxs], np.int32).reshape(nc, bsz)
-            ys = np.asarray([plan.tiles[i].y0 for i in idxs], np.int32).reshape(nc, bsz)
-            with tracer.span("dispatch"):
-                out_buf = self._run_bucket(
-                    padded, alpha, out_buf, xs, ys, ph, pw, hn, wn,
-                    self.tta_mode, c == 4,
-                )
-            done += n
-            if progress_cb is not None:
-                progress_cb(done / total)
-        return out_buf
+        return self._process_stack_device(image[None], progress_cb)[0]
 
     def fetch(self, out_buf) -> np.ndarray:
         """Device output buffer -> host numpy (the one D2H per image)."""
@@ -404,6 +435,19 @@ class RealSR:
         stage does) use process_device/fetch directly.
         """
         return self.fetch(self.process_device(image, progress_cb))
+
+    def process_batch(self, images) -> list:
+        """Batch of SAME-SHAPE uint8 HWC images -> list of host outputs.
+
+        Tiles from all images share the conv batches — for small images
+        (one tile each) this fills the batch granule the reference (and the
+        single-image path) cannot: N single-tile images cost ~1/N of N
+        separate process() calls on TPU."""
+        images = np.stack(list(images))
+        if images.dtype != np.uint8 or images.ndim != 4 or images.shape[3] not in (3, 4):
+            raise ValueError("expected same-shape uint8 HWC images, C in {3,4}")
+        out = self.fetch(self._process_stack_device(images))
+        return [out[i] for i in range(out.shape[0])]
 
     # reference-API alias (src/realsr.h:31): same program, CPU engine is
     # just a RealSR constructed with gpuid=-1.

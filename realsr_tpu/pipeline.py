@@ -57,6 +57,12 @@ class TaskQueue:
     def get(self) -> Task:
         return self._q.get()
 
+    def get_nowait(self) -> Optional[Task]:
+        try:
+            return self._q.get_nowait()
+        except _queue.Empty:
+            return None
+
 
 def load_worker(
     files: Sequence[tuple],
@@ -82,12 +88,35 @@ def load_worker(
         toproc.put(t)
 
 
-def proc_worker(engine, toproc: TaskQueue, tosave: TaskQueue, progress: bool) -> None:
-    """Pop task, run the engine, push to save (main.cpp:311-331)."""
+def proc_worker(
+    engine,
+    toproc: TaskQueue,
+    tosave: TaskQueue,
+    progress: bool,
+    image_batch: int = 1,
+) -> None:
+    """Pop task(s), run the engine, push to save (main.cpp:311-331).
+
+    ``image_batch > 1``: opportunistically drain up to that many ALREADY
+    QUEUED same-shape images and run them as one device batch — tiles from
+    all of them share the conv batches (engine.process_batch), which fills
+    the TPU's batch granule even when each image is a single tile. Never
+    waits for more input (no added latency); different-shape or poison
+    tasks are pushed back.
+    """
     while True:
         t = toproc.get()
         if t.id == POISON_ID:
             break
+        batch = [t]
+        while image_batch > 1 and len(batch) < image_batch:
+            t2 = toproc.get_nowait()
+            if t2 is None:
+                break
+            if t2.id == POISON_ID or t2.inimage.shape != t.inimage.shape:
+                toproc.put(t2)  # not ours to batch; re-queue and stop
+                break
+            batch.append(t2)
         cb = None
         if progress:
             def cb(frac, _t=t):  # per-tile % like realsr.cpp:481
@@ -96,9 +125,18 @@ def proc_worker(engine, toproc: TaskQueue, tosave: TaskQueue, progress: bool) ->
         # overlaps this thread's next image's compute — the TPU analog of
         # the reference's download/compute pipelining opportunity its
         # per-tile submit_and_wait forfeits (realsr.cpp:475-495).
-        t.outimage = (engine, engine.process_device(t.inimage, progress_cb=cb))
-        t.inimage = None  # free decoded input (save stage frees in reference)
-        tosave.put(t)
+        if len(batch) == 1:
+            t.outimage = (engine, engine.process_device(t.inimage, progress_cb=cb))
+        else:
+            import numpy as _np
+
+            stack = _np.stack([b.inimage for b in batch])
+            buf = engine._process_stack_device(stack, progress_cb=cb)
+            for i, b in enumerate(batch):
+                b.outimage = (engine, buf[i])
+        for b in batch:
+            b.inimage = None  # free decoded input (save frees in reference)
+            tosave.put(b)
 
 
 def save_worker(tosave: TaskQueue, verbose: bool) -> None:
@@ -127,6 +165,7 @@ def run_pipeline(
     jobs_save: int = 2,
     verbose: bool = False,
     progress: bool = True,
+    image_batch: int = 1,
 ) -> None:
     toproc = TaskQueue()
     tosave = TaskQueue()
@@ -151,7 +190,8 @@ def run_pipeline(
         count = 1 if engine.device.platform == "cpu" else n
         for _ in range(count):
             th = threading.Thread(
-                target=proc_worker, args=(engine, toproc, tosave, progress)
+                target=proc_worker,
+                args=(engine, toproc, tosave, progress, image_batch),
             )
             th.start()
             proc_threads.append(th)

@@ -83,3 +83,32 @@ def test_pipeline_e2e_with_decode_failures(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "decode image" in err and "failed" in err
     assert "done" in err
+
+
+def test_image_batching_proc(tmp_path, rng, tiny_model_dir):
+    """image_batch > 1 drains same-shape queued images into one device
+    batch; outputs identical to singles."""
+    import numpy as np
+
+    from realsr_tpu.engine import EngineConfig, RealSR
+    from realsr_tpu.io.codecs import decode_image, encode_image
+    from realsr_tpu.pipeline import run_pipeline
+
+    ind, outd, outd2 = tmp_path / "i", tmp_path / "o1", tmp_path / "o2"
+    for d in (ind, outd, outd2):
+        d.mkdir()
+    for i in range(5):
+        encode_image(str(ind / f"{i}.png"),
+                     rng.integers(0, 256, (20, 18, 3), dtype=np.uint8))
+    eng = RealSR(gpuid=-1, config=EngineConfig(tilesize=16, storage="float32"))
+    eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    files = sorted(str(p) for p in ind.iterdir())
+    run_pipeline(files, [str(outd / f"{i}.png") for i in range(5)],
+                 [eng], [1], image_batch=1, progress=False)
+    run_pipeline(files, [str(outd2 / f"{i}.png") for i in range(5)],
+                 [eng], [1], image_batch=4, progress=False)
+    for i in range(5):
+        a = decode_image(str(outd / f"{i}.png"))
+        b = decode_image(str(outd2 / f"{i}.png"))
+        d = np.abs(a.astype(int) - b.astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 0.01
