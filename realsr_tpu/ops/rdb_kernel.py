@@ -103,12 +103,13 @@ def _rdb_kernel(
     BLK: int,
     nf: int,
     gc: int,
+    ch: int = _CH,
 ):
     R0 = BLK + 10
     FLAT = R0 * WB
     _G = _guard_lanes(WB)
-    nch = -(-FLAT // _CH)
-    padf = nch * _CH  # chunk grid, 128-aligned; tail lanes compute garbage
+    nch = -(-FLAT // ch)
+    padf = nch * ch  # chunk grid, 128-aligned; tail lanes compute garbage
     # DMA sizes must be 128-lane aligned; the over-read beyond FLAT lands in
     # the bottom halo row, which the output never depends on (the input is
     # tail-padded by to_flat/re_apron so the read stays in bounds).
@@ -145,10 +146,10 @@ def _rdb_kernel(
         cin = tg.shape[0]
         k = 9 * cin
         outs = []
-        for f0 in range(0, padf, _CH):
+        for f0 in range(0, padf, ch):
             for t, o in enumerate(offs):
                 cols_ref[t * cin : (t + 1) * cin, :] = tg[
-                    0:cin, _G + f0 + o : _G + f0 + o + _CH
+                    0:cin, _G + f0 + o : _G + f0 + o + ch
                 ]
             outs.append(
                 jax.lax.dot_general(
@@ -204,7 +205,8 @@ def _rdb_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "WB", "BLK", "nblk", "nf", "gc", "interpret")
+    jax.jit,
+    static_argnames=("H", "W", "WB", "BLK", "nblk", "nf", "gc", "ch", "interpret"),
 )
 def rdb_apply(
     x_flat: jnp.ndarray,  # [B, nf, (Hp+10)*WB] bf16, aproned
@@ -217,6 +219,7 @@ def rdb_apply(
     nblk: int,
     nf: int,
     gc: int,
+    ch: int = _CH,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One fused RDB on the flat transposed layout -> [B, nf, Hp*WB]."""
@@ -224,9 +227,9 @@ def rdb_apply(
     R0 = BLK + 10
     FLAT = R0 * WB
     _G = _guard_lanes(WB)
-    padf = -(-FLAT // _CH) * _CH
+    padf = -(-FLAT // ch) * ch
     kernel = functools.partial(
-        _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nf=nf, gc=gc
+        _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nf=nf, gc=gc, ch=ch
     )
     rep = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -241,7 +244,7 @@ def rdb_apply(
         out_shape=jax.ShapeDtypeStruct((B, nf, nblk * BLK * WB), x_flat.dtype),
         scratch_shapes=[
             pltpu.VMEM((nf, padf + 2 * _G), x_flat.dtype),
-            pltpu.VMEM((9 * nf, _CH), x_flat.dtype),
+            pltpu.VMEM((9 * nf, ch), x_flat.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
