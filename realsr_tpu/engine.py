@@ -123,6 +123,11 @@ class RealSR:
             self.device = pool[gpuid]
         self.tta_mode = tta_mode
         self.num_threads = num_threads  # API parity; XLA owns intra-op threads
+        # optional evidence hook: when set BEFORE the first dispatch, it is
+        # called (at trace time) with (shape, sharding) of each bucket's
+        # in-flight tile batch — lets tests/dryruns PROVE the batch axis is
+        # sharded over the mesh rather than silently replicated.
+        self.sharding_probe: Optional[Callable] = None
         self.bundle: Optional[ModelBundle] = None
         self.scale = 4
         self.prepadding = self.config.prepadding
@@ -274,6 +279,12 @@ class RealSR:
             def chunk_body(buf, ixy):
                 cis, cxs, cys = ixy  # [B]
                 tiles = jax.vmap(extract)(cis, cxs, cys)
+                probe = self.sharding_probe
+                if probe is not None:
+                    jax.debug.inspect_array_sharding(
+                        tiles,
+                        callback=lambda s, _sh=tiles.shape: probe((_sh, s)),
+                    )
                 color = tile_color(tiles, ph, pw, hn, wn, tta)
                 if with_alpha:
                     atiles = jax.vmap(extract_alpha)(cis, cxs, cys)

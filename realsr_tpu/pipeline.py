@@ -101,11 +101,18 @@ def proc_worker(
     QUEUED same-shape images and run them as one device batch — tiles from
     all of them share the conv batches (engine.process_batch), which fills
     the TPU's batch granule even when each image is a single tile. Never
-    waits for more input (no added latency); different-shape or poison
-    tasks are pushed back.
+    waits for more input (no added latency). A drained task that cannot
+    join the batch (different shape, or a poison pill) is HELD locally as
+    the seed of the next iteration — never re-queued: with the bounded
+    queue (cap 8) a load worker can refill the slot freed by get_nowait()
+    before we put back, deadlocking producer and consumer on put().
     """
+    pending: Optional[Task] = None
     while True:
-        t = toproc.get()
+        if pending is not None:
+            t, pending = pending, None
+        else:
+            t = toproc.get()
         if t.id == POISON_ID:
             break
         batch = [t]
@@ -114,13 +121,18 @@ def proc_worker(
             if t2 is None:
                 break
             if t2.id == POISON_ID or t2.inimage.shape != t.inimage.shape:
-                toproc.put(t2)  # not ours to batch; re-queue and stop
+                pending = t2  # not ours to batch; hold for next iteration
                 break
             batch.append(t2)
         cb = None
-        if progress:
+        if progress and len(batch) == 1:
             def cb(frac, _t=t):  # per-tile % like realsr.cpp:481
                 print(f"{frac * 100.0:.2f}%", file=sys.stderr)
+        elif progress:
+            # a single % stream cannot be attributed to one image; label
+            # the whole stack instead of misreporting per-image progress
+            def cb(frac, _n=len(batch)):
+                print(f"batch of {_n}: {frac * 100.0:.2f}%", file=sys.stderr)
         # keep the result ON DEVICE: the save stage's fetch (D2H) then
         # overlaps this thread's next image's compute — the TPU analog of
         # the reference's download/compute pipelining opportunity its

@@ -27,6 +27,12 @@ class FakeEngine:
         h, w, c = img.shape
         return np.zeros((h * 4, w * 4, c), np.uint8)
 
+    def _process_stack_device(self, stack, progress_cb=None):
+        if progress_cb:
+            progress_cb(1.0)
+        n, h, w, c = stack.shape
+        return np.zeros((n, h * 4, w * 4, c), np.uint8)
+
     def fetch(self, buf):
         return buf
 
@@ -83,6 +89,43 @@ def test_pipeline_e2e_with_decode_failures(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "decode image" in err and "failed" in err
     assert "done" in err
+
+
+def test_batch_drain_mismatch_no_deadlock():
+    """A drained non-batchable task must be HELD, not re-queued: with the
+    bounded queue a producer's pending put() can fill the slot freed by
+    get_nowait() first, deadlocking both sides on put() (advisor r1 high).
+    """
+    from realsr_tpu.pipeline import proc_worker
+
+    toproc = TaskQueue()  # capacity 8
+    tosave = TaskQueue(capacity=100)
+    img_a = np.zeros((4, 4, 3), np.uint8)
+    img_b = np.zeros((6, 6, 3), np.uint8)
+    # alternate shapes so every drain attempt hits a mismatch
+    for i in range(QUEUE_CAPACITY):
+        toproc.put(Task(id=i, inimage=img_a if i % 2 == 0 else img_b))
+
+    def producer():  # >=2 puts pending beyond capacity, then poison
+        for i in range(8, 12):
+            toproc.put(Task(id=i, inimage=img_a))
+        toproc.put(Task(id=POISON_ID))
+
+    prod = threading.Thread(target=producer, daemon=True)
+    prod.start()
+    worker = threading.Thread(
+        target=proc_worker,
+        args=(FakeEngine(), toproc, tosave, False, 4),
+        daemon=True,
+    )
+    worker.start()
+    worker.join(timeout=20)
+    assert not worker.is_alive(), "proc_worker deadlocked on batch drain"
+    prod.join(timeout=5)
+    done = set()
+    while (t := tosave.get_nowait()) is not None:
+        done.add(t.id)
+    assert done == set(range(12))
 
 
 def test_image_batching_proc(tmp_path, rng, tiny_model_dir):

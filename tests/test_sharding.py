@@ -43,15 +43,31 @@ def test_mesh_ragged_and_alpha(pair, rng):
     assert_u8_close(a, b)
 
 
-def test_mesh_tile_batch_is_sharded(pair, rng):
-    """The bucket computation must actually shard the batch axis."""
-    _, sharded = pair
-    # capture shardings by inspecting the compiled scatter input
-    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)  # 16 tiles
-    out = sharded.process(img)
+def test_mesh_tile_batch_is_sharded(tiny_model_dir, rng):
+    """The in-flight tile batch axis must ACTUALLY shard over the mesh —
+    fail if it silently replicates (pixel-equality tests would still pass).
+
+    Uses the engine's sharding probe (jax.debug.inspect_array_sharding on
+    the batch of extracted tiles inside the bucket program). A fresh engine
+    is required: the probe is baked in at first trace.
+    """
+    from realsr_tpu.parallel.mesh import TILE_AXIS
+
+    mesh = make_mesh(jax.devices())
+    e = RealSR(config=EngineConfig(tilesize=16, storage="float32"), mesh=mesh)
+    e.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    recorded = []
+    e.sharding_probe = recorded.append
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)  # 16 interior tiles
+    out = e.process(img)
     assert out.shape == (256, 256, 3)
-    # smoke: mesh really has 8 devices and engine is bound to it
-    assert sharded.mesh.size == 8
+    assert recorded, "sharding probe never fired"
+    for shape, shd in recorded:
+        assert shd.spec and shd.spec[0] == TILE_AXIS, (
+            f"tile batch replicated instead of sharded: spec={shd.spec}"
+        )
+        per_dev = shd.shard_shape(shape)[0]
+        assert per_dev * mesh.size == shape[0], (shape, shd.spec)
 
 
 def test_submesh(tiny_model_dir, rng):
