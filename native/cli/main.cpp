@@ -122,6 +122,7 @@ struct Task {
   int w = 0, h = 0, c = 0;
   std::vector<unsigned char> out;   // scaled result
   int ow = 0, oh = 0;
+  long handle = -1;  // device-resident result (bridge process_async)
 };
 
 class TaskQueue {
@@ -177,25 +178,25 @@ bool bridge_init(const std::string& config_json, int* scale) {
   return ok;
 }
 
-bool bridge_process(int engine_idx, Task& t, int scale) {
+// Dispatch only: the result stays on device (realsr_tpu keeps it there)
+// so the save thread's fetch (the one D2H) overlaps this thread's next
+// image's compute — the proc/save overlap the reference's pipeline split
+// exists for (src/main.cpp:305-416).
+bool bridge_process_async(int engine_idx, Task& t, int scale) {
   PyGILState_STATE g = PyGILState_Ensure();
   bool ok = false;
   PyObject* buf = PyBytes_FromStringAndSize(
       reinterpret_cast<const char*>(t.pixels),
       static_cast<Py_ssize_t>(t.w) * t.h * t.c);
   if (buf) {
-    PyObject* r = PyObject_CallMethod(g_bridge, "process", "iOiii",
+    PyObject* r = PyObject_CallMethod(g_bridge, "process_async", "iOiii",
                                       engine_idx, buf, t.w, t.h, t.c);
     Py_DECREF(buf);
     if (r) {
-      char* data;
-      Py_ssize_t len;
-      if (PyBytes_AsStringAndSize(r, &data, &len) == 0) {
-        t.out.assign(data, data + len);
-        t.ow = t.w * scale;
-        t.oh = t.h * scale;
-        ok = true;
-      }
+      t.handle = PyLong_AsLong(r);
+      t.ow = t.w * scale;
+      t.oh = t.h * scale;
+      ok = t.handle > 0;
       Py_DECREF(r);
     } else {
       PyErr_Print();
@@ -203,6 +204,65 @@ bool bridge_process(int engine_idx, Task& t, int scale) {
   }
   PyGILState_Release(g);
   return ok;
+}
+
+bool bridge_fetch(Task& t) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  bool ok = false;
+  PyObject* r = PyObject_CallMethod(g_bridge, "fetch", "l", t.handle);
+  if (r) {
+    char* data;
+    Py_ssize_t len;
+    if (PyBytes_AsStringAndSize(r, &data, &len) == 0) {
+      t.out.assign(data, data + len);
+      ok = true;
+    }
+    Py_DECREF(r);
+  } else {
+    PyErr_Print();
+  }
+  t.handle = -1;
+  PyGILState_Release(g);
+  return ok;
+}
+
+// ncnn::get_gpu_count analog (reference validates -g against it,
+// main.cpp:722-732) — the bridge's accelerator pool size.
+long bridge_device_count() {
+  PyGILState_STATE g = PyGILState_Ensure();
+  long n = -1;
+  PyObject* mod = PyImport_ImportModule("realsr_tpu.native_bridge");
+  if (mod) {
+    PyObject* r = PyObject_CallMethod(mod, "device_count", nullptr);
+    if (r) {
+      n = PyLong_AsLong(r);
+      Py_DECREF(r);
+    } else {
+      PyErr_Print();
+    }
+    Py_DECREF(mod);
+  } else {
+    PyErr_Print();
+  }
+  PyGILState_Release(g);
+  return n;
+}
+
+// filesystem_utils.h:167-173 semantics: a model path that does not exist
+// as given is retried relative to the executable's directory.
+std::string get_executable_directory() {
+  char buf[1024];
+  ssize_t n = readlink("/proc/self/exe", buf, sizeof(buf) - 1);
+  if (n <= 0) return ".";
+  buf[n] = '\0';
+  std::string p(buf);
+  size_t slash = p.find_last_of('/');
+  return slash == std::string::npos ? "." : p.substr(0, slash);
+}
+
+std::string sanitize_filepath(const std::string& path) {
+  if (path_exists(path)) return path;
+  return get_executable_directory() + "/" + path;
 }
 
 }  // namespace
@@ -348,12 +408,15 @@ int main(int argc, char** argv) {
     return -1;
   }
 
-  char parampath[512], modelpath[512];
-  std::snprintf(parampath, sizeof(parampath), "%s/x%d.param", model.c_str(), scale);
-  std::snprintf(modelpath, sizeof(modelpath), "%s/x%d.bin", model.c_str(), scale);
+  // model paths resolve relative to CWD, then the exe dir
+  // (filesystem_utils.h:167-173)
+  std::string parampath =
+      sanitize_filepath(model + "/x" + std::to_string(scale) + ".param");
+  std::string modelpath =
+      sanitize_filepath(model + "/x" + std::to_string(scale) + ".bin");
   if (!path_exists(parampath) || !path_exists(modelpath)) {
-    std::fprintf(stderr, "model files not found: %s / %s\n", parampath,
-                 modelpath);
+    std::fprintf(stderr, "model files not found: %s / %s\n", parampath.c_str(),
+                 modelpath.c_str());
     return -1;
   }
 
@@ -367,6 +430,20 @@ int main(int argc, char** argv) {
 
   // ---- embedded python ---------------------------------------------------
   Py_Initialize();
+  {
+    // validate -g against the device pool (reference: "invalid gpu device",
+    // main.cpp:723-732). -1 = CPU is always valid.
+    bool any_accel = false;
+    for (int g : gpuid) any_accel = any_accel || g != -1;
+    long dev_count = any_accel ? bridge_device_count() : 0;
+    for (int g : gpuid) {
+      if (g < -1 || (g >= 0 && dev_count >= 0 && g >= dev_count)) {
+        std::fprintf(stderr, "invalid gpu device\n");
+        Py_Finalize();
+        return -1;
+      }
+    }
+  }
   {
     // config as JSON (hand-rolled; ints/bools/strings only)
     std::string cfg = "{\"gpuid\":[";
@@ -438,7 +515,7 @@ int main(int argc, char** argv) {
         for (;;) {
           Task t = toproc.get();
           if (t.id == kPoison) break;
-          bool ok = bridge_process(static_cast<int>(d), t, scale);
+          bool ok = bridge_process_async(static_cast<int>(d), t, scale);
           rsio_free(t.pixels);
           t.pixels = nullptr;
           if (ok) tosave.put(std::move(t));
@@ -454,6 +531,10 @@ int main(int argc, char** argv) {
       for (;;) {
         Task t = tosave.get();
         if (t.id == kPoison) break;
+        if (!bridge_fetch(t)) {  // the one D2H; overlaps proc's next compute
+          std::fprintf(stderr, "fetch %s failed\n", t.inpath.c_str());
+          continue;
+        }
         std::string ext = lower(file_extension(t.outpath));
         int ok = rsio_encode(t.outpath.c_str(), t.ow, t.oh, t.c,
                              t.out.data(), ext.c_str());

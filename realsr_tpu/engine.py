@@ -65,6 +65,13 @@ def _storage_dtype(storage: str, device) -> jnp.dtype:
         return jnp.float32
     if storage == "bfloat16":
         return jnp.bfloat16
+    if storage == "float16":
+        # closest-parity mode to the reference's fp16-storage/fp32-arith
+        # GPU numerics (src/realsr.cpp:43-47): 10 mantissa bits vs bf16's
+        # 7; accumulation stays f32 (preferred_element_type in the conv).
+        return jnp.float16
+    if storage != "auto":
+        raise ValueError(f"unknown storage mode {storage!r}")
     # auto: bf16 storage on accelerator (reference uses fp16 storage on GPU,
     # src/realsr.cpp:45), f32 on CPU (reference CPU path is all-f32).
     return jnp.bfloat16 if device.platform != "cpu" else jnp.float32
@@ -249,15 +256,22 @@ class RealSR:
             ]
             return _round_u8(out)
 
-        def run_bucket(
+        def run_chunk(
             padded, alpha, out_buf, imgs, xs, ys, ph, pw, hn, wn, tta, with_alpha
         ):
-            """ONE dispatch per bucket: lax.scan over [nc, B] tile-origin
-            chunks; each iteration extracts a batch, runs the net, rounds to
-            uint8 and scatters into the carried output buffer. Replaces the
-            reference's per-tile dispatch + submit_and_wait loop
-            (src/realsr.cpp:235-482) with a single device-resident program —
-            host round-trips per image drop to O(buckets).
+            """ONE dispatch per [B] tile-origin chunk: extract a batch of
+            tiles, run the net, round to uint8 and scatter into the donated
+            output buffer. Replaces the reference's per-tile dispatch +
+            submit_and_wait loop (src/realsr.cpp:235-482) — dispatches are
+            async, so the host chunk loop just enqueues device work; the
+            single D2H per image is the only sync.
+
+            The chunk loop lives in the HOST (engine), not in a lax.scan:
+            compiled shapes are then independent of the tile COUNT, so a
+            directory of mixed-size images reuses one executable per
+            (bucket shape, batch) instead of recompiling per chunk count —
+            and per-chunk completion is observable for the reference's
+            per-tile progress contract (realsr.cpp:481).
 
             All buffers carry a leading IMAGE axis (padded [N,Hp,Wp,3],
             out_buf [N,H*s,W*s,C]) and ``imgs`` selects each tile's image —
@@ -276,61 +290,56 @@ class RealSR:
                 t = jax.lax.dynamic_slice(alpha, (i, y0, x0, 0), (1, hn, wn, 1))
                 return t[0]
 
-            def chunk_body(buf, ixy):
-                cis, cxs, cys = ixy  # [B]
-                tiles = jax.vmap(extract)(cis, cxs, cys)
-                probe = self.sharding_probe
-                if probe is not None:
-                    jax.debug.inspect_array_sharding(
-                        tiles,
-                        callback=lambda s, _sh=tiles.shape: probe((_sh, s)),
-                    )
-                color = tile_color(tiles, ph, pw, hn, wn, tta)
-                if with_alpha:
-                    atiles = jax.vmap(extract_alpha)(cis, cxs, cys)
-                    if scale == 1:
-                        up = atiles
-                    elif scale == 4:
-                        up = bicubic_x4(atiles)
-                    else:
-                        up = resize_nhwc(atiles, hn * scale, wn * scale, "bicubic")
-                    a_u8 = jnp.clip(jnp.floor(up + 0.5), 0.0, 255.0).astype(jnp.uint8)
-                    tiles_u8 = jnp.concatenate([color, a_u8], axis=-1)
+            tiles = jax.vmap(extract)(imgs, xs, ys)
+            probe = self.sharding_probe
+            if probe is not None:
+                jax.debug.inspect_array_sharding(
+                    tiles,
+                    callback=lambda s, _sh=tiles.shape: probe((_sh, s)),
+                )
+            color = tile_color(tiles, ph, pw, hn, wn, tta)
+            if with_alpha:
+                atiles = jax.vmap(extract_alpha)(imgs, xs, ys)
+                if scale == 1:
+                    up = atiles
+                elif scale == 4:
+                    up = bicubic_x4(atiles)
                 else:
-                    tiles_u8 = color
+                    up = resize_nhwc(atiles, hn * scale, wn * scale, "bicubic")
+                a_u8 = jnp.clip(jnp.floor(up + 0.5), 0.0, 255.0).astype(jnp.uint8)
+                tiles_u8 = jnp.concatenate([color, a_u8], axis=-1)
+            else:
+                tiles_u8 = color
 
-                def scat(b, t):
-                    tile, i, x0, y0 = t
-                    return jax.lax.dynamic_update_slice(
-                        b, tile[None], (i, y0 * scale, x0 * scale, 0)
-                    ), None
+            def scat(b, t):
+                tile, i, x0, y0 = t
+                return jax.lax.dynamic_update_slice(
+                    b, tile[None], (i, y0 * scale, x0 * scale, 0)
+                ), None
 
-                buf, _ = jax.lax.scan(scat, buf, (tiles_u8, cis, cxs, cys))
-                return buf, None
-
-            out_buf, _ = jax.lax.scan(chunk_body, out_buf, (imgs, xs, ys))
+            out_buf, _ = jax.lax.scan(scat, out_buf, (tiles_u8, imgs, xs, ys))
             return out_buf
 
         static = (6, 7, 8, 9, 10, 11)
         if self.mesh is None:
             self._prep = jax.jit(prep, static_argnums=(1,))
-            self._run_bucket = jax.jit(
-                run_bucket, static_argnums=static, donate_argnums=(2,)
+            self._run_chunk = jax.jit(
+                run_chunk, static_argnums=static, donate_argnums=(2,)
             )
         else:
             # Mesh mode: params/image/output replicated, tile batch axis
-            # (axis 1 of imgs/xs/ys) sharded. The only collective is XLA's
+            # (axis 0 of imgs/xs/ys) sharded. The only collective is XLA's
             # gather of per-device tiles into the replicated buffer — ICI.
             rep = replicated(self.mesh)
-            shd_b = NamedSharding(self.mesh, P(None, TILE_AXIS))
+            shd_b = NamedSharding(self.mesh, P(TILE_AXIS))
             self._prep = jax.jit(
                 prep,
                 static_argnums=(1,),
                 in_shardings=(rep,),
                 out_shardings=(rep, rep),
             )
-            self._run_bucket = jax.jit(
-                run_bucket,
+            self._run_chunk = jax.jit(
+                run_chunk,
                 static_argnums=static,
                 donate_argnums=(2,),
                 in_shardings=(rep, rep, rep, shd_b, shd_b, shd_b),
@@ -405,14 +414,19 @@ class RealSR:
             ys = np.asarray(
                 [plan.tiles[p[1]].y0 for p in pairs], np.int32
             ).reshape(nc, bsz)
-            with tracer.span("dispatch"):
-                out_buf = self._run_bucket(
-                    padded, alpha, out_buf, imgs, xs, ys, ph, pw, hn, wn,
-                    self.tta_mode, c == 4,
-                )
-            done += n
-            if progress_cb is not None:
-                progress_cb(done / total)
+            for k in range(nc):
+                with tracer.span("dispatch"):
+                    out_buf = self._run_chunk(
+                        padded, alpha, out_buf, imgs[k], xs[k], ys[k],
+                        ph, pw, hn, wn, self.tta_mode, c == 4,
+                    )
+                done += min(bsz, n - k * bsz)  # exclude pad-duplicate tiles
+                if progress_cb is not None:
+                    # fence this chunk (one tiny fetch) so the reported %
+                    # reflects COMPLETED work like the reference's per-tile
+                    # counter (realsr.cpp:481), not async dispatch depth.
+                    np.asarray(jax.device_get(out_buf.ravel()[0]))
+                    progress_cb(done / total)
         return out_buf
 
     def process_device(

@@ -1,0 +1,116 @@
+"""End-to-end tests of the native C++ CLI binary (native/build/realsr-tpu).
+
+The reference ships a single C++ binary (src/main.cpp); these tests run
+ours the way a user would — subprocess, real flags, real files — and
+check behavioral parity: output pixels (vs the Python CLI on the same
+model), gpu-id validation, exe-relative model resolution
+(filesystem_utils.h:167-173). Skipped when the binary isn't built
+(CI builds it; `cmake -S native -B native/build && cmake --build ...`).
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BINARY = os.path.join(REPO, "native", "build", "realsr-tpu")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(BINARY), reason="native CLI binary not built"
+)
+
+
+def run_binary(args, cwd=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [BINARY] + args, capture_output=True, text=True, env=env, cwd=cwd,
+        timeout=300,
+    )
+
+
+@pytest.fixture(scope="module")
+def dl2k_model_dir(tmp_path_factory):
+    """Tiny-spec model in a DF2K-named dir (the CLI keys prepadding on the
+    dir name, main.cpp:661-667)."""
+    from realsr_tpu.ncnn.synth import make_model_dir
+    from tests.conftest import TINY_SPEC
+
+    d = tmp_path_factory.mktemp("native_models") / "models-DF2K"
+    make_model_dir(str(d), TINY_SPEC, seed=7)
+    return str(d)
+
+
+def test_binary_e2e_matches_python_cli(tmp_path, rng, dl2k_model_dir):
+    from PIL import Image
+
+    img = rng.integers(0, 256, (20, 18, 3), dtype=np.uint8)
+    inp = tmp_path / "in.png"
+    Image.fromarray(img).save(inp)
+
+    out_native = tmp_path / "native.png"
+    r = run_binary(
+        ["-i", str(inp), "-o", str(out_native), "-m", dl2k_model_dir, "-g", "-1"]
+    )
+    assert r.returncode == 0, r.stderr
+    assert out_native.exists()
+
+    out_py = tmp_path / "py.png"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    rp = subprocess.run(
+        [sys.executable, "-m", "realsr_tpu", "-i", str(inp), "-o", str(out_py),
+         "-m", dl2k_model_dir, "-g", "-1"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert rp.returncode == 0, rp.stderr
+    a = np.asarray(Image.open(out_native))
+    b = np.asarray(Image.open(out_py))
+    assert a.shape == b.shape == (80, 72, 3)
+    d = np.abs(a.astype(int) - b.astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 0.01  # f32 reassociation only
+
+
+def test_binary_invalid_gpu_id(tmp_path, dl2k_model_dir):
+    (tmp_path / "in.png").write_bytes(b"")
+    r = run_binary(
+        ["-i", str(tmp_path / "in.png"), "-o", str(tmp_path / "o.png"),
+         "-m", dl2k_model_dir, "-g", "99"]
+    )
+    assert r.returncode != 0
+    assert "invalid gpu device" in r.stderr  # main.cpp:723-732 contract
+
+
+def test_binary_exe_relative_model_fallback(tmp_path, rng, dl2k_model_dir):
+    """-m with a relative dir that only exists next to the binary resolves
+    exe-relative (filesystem_utils.h:167-173)."""
+    from PIL import Image
+
+    exe_dir = os.path.dirname(BINARY)
+    target = os.path.join(exe_dir, "models-DF2K-testfallback")
+    shutil.copytree(dl2k_model_dir, target, dirs_exist_ok=True)
+    try:
+        img = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+        inp = tmp_path / "in.png"
+        Image.fromarray(img).save(inp)
+        out = tmp_path / "out.png"
+        r = run_binary(
+            ["-i", str(inp), "-o", str(out), "-m", "models-DF2K-testfallback",
+             "-g", "-1"],
+            cwd=str(tmp_path),  # cwd does NOT contain the model dir
+        )
+        assert r.returncode == 0, r.stderr
+        assert out.exists()
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+def test_binary_usage_error():
+    r = run_binary([])
+    assert r.returncode != 0
+    assert "Usage" in r.stderr
