@@ -207,11 +207,11 @@ class RealSR:
             )
             try:
                 from jax import shard_map
-
-                forward = shard_map(self.bundle.forward, check_vma=False, **kw)
             except ImportError:  # older jax
                 from jax.experimental.shard_map import shard_map
-
+            try:
+                forward = shard_map(self.bundle.forward, check_vma=False, **kw)
+            except TypeError:  # pre-0.8 signature: check_rep, not check_vma
                 forward = shard_map(self.bundle.forward, check_rep=False, **kw)
         scale = self.scale
         pad = self.prepadding
@@ -348,18 +348,25 @@ class RealSR:
 
     # -- inference -----------------------------------------------------
 
-    def _pick_tilesize(self, w: int, h: int) -> int:
+    def _pick_tilesize(self, w: int, h: int, n_img: int = 1) -> int:
         if self.tilesize:
             return self.tilesize
-        # model the REAL chunk-pad granule (TTA batches 1 tile x 8
-        # variants; mesh rounds to a device multiple) and restrict to
-        # tiles the active conv formulation handles well (the XLA dense
-        # path regresses beyond t192, planner._RATE_ANCHORS comment)
+        # model the REAL chunk-pad granule PER CANDIDATE (the dispatch
+        # batch depends on the tile size; TTA batches 1 tile x 8 variants;
+        # mesh rounds to a device multiple) and restrict to tiles the
+        # active conv formulation handles well (the XLA dense path
+        # regresses beyond t192, planner._RATE_ANCHORS comment)
         ndev = self.mesh.size if self.mesh is not None else 1
-        g = self.config.max_batch or _auto_batch(256, self.tta_mode)
-        g = -(-g // ndev) * ndev
+
+        def granule(t: int) -> int:
+            g = self.config.max_batch or _auto_batch(t, self.tta_mode)
+            return -(-g // ndev) * ndev
+
         cands = (128, 192, 256) if self.variant == "pallas" else (128, 192)
-        return pick_tilesize(w, h, self.prepadding, granule=g, candidates=cands)
+        return pick_tilesize(
+            w, h, self.prepadding, granule=granule, candidates=cands,
+            n_img=n_img,
+        )
 
     def _process_stack_device(
         self,
@@ -378,7 +385,7 @@ class RealSR:
         pad = self.prepadding
 
         maybe_start_profiler()
-        tilesize = self._pick_tilesize(w, h)
+        tilesize = self._pick_tilesize(w, h, n_img)
         self.last_tilesize = tilesize
         plan = plan_tiles(w, h, tilesize, pad)
         where = replicated(self.mesh) if self.mesh is not None else self.device

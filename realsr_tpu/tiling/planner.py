@@ -120,26 +120,31 @@ def pick_tilesize(
     w: int,
     h: int,
     prepadding: int,
-    granule: int = 8,
+    granule=8,
     candidates: Tuple[int, ...] = _TILE_CANDIDATES,
+    n_img: int = 1,
 ) -> int:
     """Per-image auto tile size: minimize total padded-tile work.
 
-    The forward cost of an image is the sum over buckets of
-    ``ceil(n_bucket/granule) * granule * padded_h * padded_w`` — tiles are
-    chunk-padded to the batching granule (engine) and halo-padded by
-    ``prepadding`` (planner), so both pad-waste sources depend on how the
-    tile grid lands on the image — weighted by the bucket's measured
-    per-pixel cost (_px_rate). Ties break toward larger tiles (fewer
-    dispatches).
+    The forward cost of a stack of ``n_img`` same-sized images is the sum
+    over buckets of ``ceil(n_img*n_bucket/g) * g * padded_h * padded_w`` —
+    tiles are chunk-padded to the batching granule (engine) and halo-padded
+    by ``prepadding`` (planner), so both pad-waste sources depend on how
+    the tile grid lands on the image — weighted by the bucket's measured
+    per-pixel cost (_px_rate). ``granule`` may be a callable
+    ``tilesize -> g`` so the model uses each CANDIDATE's real dispatch
+    granule (the engine's batch depends on the tile size). Ties break
+    toward larger tiles (fewer dispatches).
     """
+    gfn = granule if callable(granule) else (lambda _t: granule)
     best = None
     for t in candidates:
         plan = plan_tiles(w, h, t, prepadding)
+        g = max(1, gfn(t))
         cost = 0.0
         for (ph, pw), idxs in plan.buckets.items():
-            n = len(idxs)
-            nb = min(granule, 1 << (n - 1).bit_length())
+            n = len(idxs) * n_img
+            nb = min(g, 1 << (n - 1).bit_length())
             cost += -(-n // nb) * nb * ph * pw * _px_rate(ph, pw)
         if best is None or cost < best[0] or (cost == best[0] and t > best[1]):
             best = (cost, t)
