@@ -368,6 +368,60 @@ class RealSR:
             n_img=n_img,
         )
 
+    def _chunking(self, tilesize: int, n: int) -> tuple:
+        """(chunk batch, chunk count) for ``n`` tiles at ``tilesize``.
+
+        batch = pow2 (x mesh multiple), capped at the measured granule; the
+        tile list is padded to whole chunks — duplicated tiles rewrite
+        identical bytes on scatter. Shapes stay in a small reusable set so
+        jit cache hits dominate across images."""
+        ndev = self.mesh.size if self.mesh is not None else 1
+        max_batch = self.config.max_batch or _auto_batch(tilesize, self.tta_mode)
+        max_batch = -(-max_batch // ndev) * ndev  # multiple of mesh size
+        bsz = min(max_batch, 1 << (n - 1).bit_length())
+        bsz = -(-bsz // ndev) * ndev
+        return bsz, -(-n // bsz)
+
+    def precompile(self, w: int, h: int, channels: int = 3, n_img: int = 1) -> int:
+        """AOT-compile every program a (w, h, channels) image will need.
+
+        For serving deployments: call once after :meth:`load` so the first
+        request doesn't pay the fused kernel's ~2-minute Mosaic compile
+        (BASELINE.md cold-start notes). Uses ``jit.lower().compile()`` on
+        ShapeDtypeStructs — no device compute, no image needed — and the
+        artifacts also land in the persistent compile cache, warming every
+        later process on this host. Returns the number of programs built.
+        """
+        if self.bundle is None:
+            raise RuntimeError("call load() first")
+        if channels not in (3, 4):
+            raise ValueError("channels must be 3 or 4")
+        S = jax.ShapeDtypeStruct
+        s, pad = self.scale, self.prepadding
+        img = S((n_img, h, w, channels), jnp.uint8)
+        self._prep.lower(img, pad).compile()
+        count = 1
+        tilesize = self._pick_tilesize(w, h, n_img)
+        plan = plan_tiles(w, h, tilesize, pad)
+        padded = S((n_img, h + 2 * pad, w + 2 * pad, 3), self.storage_dtype)
+        alpha = S((n_img, h, w, 1 if channels == 4 else 0), jnp.float32)
+        out_buf = S((n_img, h * s, w * s, channels), jnp.uint8)
+        seen = set()
+        for (ph, pw), idxs in plan.buckets.items():
+            bsz, _ = self._chunking(tilesize, len(idxs) * n_img)
+            key = (ph, pw, bsz)
+            if key in seen:
+                continue
+            seen.add(key)
+            ivec = S((bsz,), jnp.int32)
+            self._run_chunk.lower(
+                padded, alpha, out_buf, ivec, ivec, ivec,
+                ph, pw, ph - 2 * pad, pw - 2 * pad, self.tta_mode,
+                channels == 4,
+            ).compile()
+            count += 1
+        return count
+
     def _process_stack_device(
         self,
         images: np.ndarray,  # [N, H, W, C] uint8
@@ -397,22 +451,13 @@ class RealSR:
             jnp.zeros((n_img, h * s, w * s, c), dtype=jnp.uint8), where
         )
 
-        ndev = self.mesh.size if self.mesh is not None else 1
-        max_batch = self.config.max_batch or _auto_batch(tilesize, self.tta_mode)
-        max_batch = -(-max_batch // ndev) * ndev  # multiple of mesh size
         done = 0
         total = len(plan.tiles) * n_img
         for (ph, pw), idxs in plan.buckets.items():
             hn, wn = ph - 2 * pad, pw - 2 * pad
             pairs = [(i, t) for i in range(n_img) for t in idxs]
             n = len(pairs)
-            # batch = pow2 (x mesh multiple), capped; tile list padded to a
-            # whole number of chunks — duplicated tiles rewrite identical
-            # bytes on scatter. Shapes stay in a small reusable set so jit
-            # cache hits dominate across images.
-            bsz = min(max_batch, 1 << (n - 1).bit_length())
-            bsz = -(-bsz // ndev) * ndev
-            nc = -(-n // bsz)
+            bsz, nc = self._chunking(tilesize, n)
             pairs = pairs + [pairs[-1]] * (nc * bsz - n)
             imgs = np.asarray([p[0] for p in pairs], np.int32).reshape(nc, bsz)
             xs = np.asarray(

@@ -149,6 +149,20 @@ def test_progress_callback(engine, rng):
     assert all(b >= a for a, b in zip(fracs, fracs[1:]))
 
 
+def test_precompile_then_process(engine, rng):
+    """precompile() AOT-builds the exact programs a shape needs; a
+    subsequent process() of that shape runs correctly (serving warm-up)."""
+    n = engine.precompile(30, 26, channels=3)
+    assert n >= 2  # prep + at least one chunk program
+    img = rng.integers(0, 256, (26, 30, 3), dtype=np.uint8)
+    out = engine.process(img)
+    assert out.shape == (104, 120, 3)
+    with pytest.raises(RuntimeError):
+        RealSR(gpuid=-1).precompile(8, 8)
+    with pytest.raises(ValueError):
+        engine.precompile(8, 8, channels=2)
+
+
 def test_rejects_bad_input(engine):
     with pytest.raises(ValueError):
         engine.process(np.zeros((4, 4), dtype=np.uint8))

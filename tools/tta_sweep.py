@@ -32,9 +32,15 @@ def main() -> int:
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
 
+    tiles = tuple(
+        int(t) for t in os.environ.get("REALSR_TTA_TILES", "128,192,256").split(",")
+    )
+    granules = tuple(
+        int(g) for g in os.environ.get("REALSR_TTA_GRANULES", "1,2,4").split(",")
+    )
     results = []
-    for tile in (128, 192, 256):
-        for granule in (1, 2, 4):
+    for tile in tiles:
+        for granule in granules:
             eng = RealSR(
                 gpuid=0,
                 tta_mode=True,
