@@ -66,7 +66,8 @@ def main() -> int:
     reps = int(os.environ.get("REALSR_BENCH_REPS", "4"))
     tilesize = int(os.environ.get("REALSR_BENCH_TILE", "0"))
 
-    eng = RealSR(gpuid=0, config=EngineConfig(tilesize=tilesize))
+    storage = os.environ.get("REALSR_TPU_STORAGE", "auto")
+    eng = RealSR(gpuid=0, config=EngineConfig(tilesize=tilesize, storage=storage))
     eng.load(param_path, bin_path)
 
     rng = np.random.default_rng(0)

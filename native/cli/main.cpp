@@ -141,6 +141,15 @@ class TaskQueue {
     cv_put_.notify_one();
     return v;
   }
+  // non-blocking pop for opportunistic batch drain (never waits)
+  bool try_get(Task* out) {
+    std::unique_lock<std::mutex> lk(mu_);
+    if (q_.empty()) return false;
+    *out = std::move(q_.front());
+    q_.pop();
+    cv_put_.notify_one();
+    return true;
+  }
 
  private:
   std::mutex mu_;
@@ -201,6 +210,46 @@ bool bridge_process_async(int engine_idx, Task& t, int scale) {
     } else {
       PyErr_Print();
     }
+  }
+  PyGILState_Release(g);
+  return ok;
+}
+
+// Same-shape image stack -> one device batch; one handle per task
+// (engine cross-image tile batching, realsr_tpu pipeline parity).
+bool bridge_process_batch_async(int engine_idx, std::vector<Task>& batch,
+                                int scale) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  bool ok = false;
+  PyObject* list = PyList_New(static_cast<Py_ssize_t>(batch.size()));
+  if (list) {
+    bool built = true;
+    for (size_t i = 0; i < batch.size(); i++) {
+      PyObject* b = PyBytes_FromStringAndSize(
+          reinterpret_cast<const char*>(batch[i].pixels),
+          static_cast<Py_ssize_t>(batch[i].w) * batch[i].h * batch[i].c);
+      if (!b) { built = false; break; }
+      PyList_SET_ITEM(list, static_cast<Py_ssize_t>(i), b);  // steals ref
+    }
+    if (built) {
+      PyObject* r = PyObject_CallMethod(g_bridge, "process_batch_async",
+                                        "iOiii", engine_idx, list,
+                                        batch[0].w, batch[0].h, batch[0].c);
+      if (r && PyList_Check(r) &&
+          PyList_Size(r) == static_cast<Py_ssize_t>(batch.size())) {
+        for (size_t i = 0; i < batch.size(); i++) {
+          batch[i].handle =
+              PyLong_AsLong(PyList_GET_ITEM(r, static_cast<Py_ssize_t>(i)));
+          batch[i].ow = batch[i].w * scale;
+          batch[i].oh = batch[i].h * scale;
+        }
+        ok = true;
+      } else if (!r) {
+        PyErr_Print();
+      }
+      Py_XDECREF(r);
+    }
+    Py_DECREF(list);
   }
   PyGILState_Release(g);
   return ok;
@@ -505,6 +554,11 @@ int main(int argc, char** argv) {
     });
   }
 
+  // cross-image batching (tiles of same-shape images share conv chunks —
+  // engine.process_batch); opt-in like the Python CLI
+  const char* ib_env = std::getenv("REALSR_TPU_IMAGE_BATCH");
+  const int image_batch = std::max(1, ib_env ? std::atoi(ib_env) : 1);
+
   int total_proc = 0;
   std::vector<std::thread> procs;
   for (size_t d = 0; d < gpuid.size(); d++) {
@@ -512,14 +566,44 @@ int main(int argc, char** argv) {
     for (int j = 0; j < nthreads; j++) {
       total_proc++;
       procs.emplace_back([&, d] {
+        // a drained non-batchable task is HELD, never re-queued: re-queuing
+        // into the bounded queue can deadlock against a blocked producer
+        // (same hazard as realsr_tpu/pipeline.py:proc_worker)
+        Task pending;
+        bool have_pending = false;
         for (;;) {
-          Task t = toproc.get();
+          Task t;
+          if (have_pending) {
+            t = std::move(pending);
+            have_pending = false;
+          } else {
+            t = toproc.get();
+          }
           if (t.id == kPoison) break;
-          bool ok = bridge_process_async(static_cast<int>(d), t, scale);
-          rsio_free(t.pixels);
-          t.pixels = nullptr;
-          if (ok) tosave.put(std::move(t));
-          else std::fprintf(stderr, "process %s failed\n", t.inpath.c_str());
+          std::vector<Task> batch;
+          batch.push_back(std::move(t));
+          while (static_cast<int>(batch.size()) < image_batch) {
+            Task t2;
+            if (!toproc.try_get(&t2)) break;  // never wait for more input
+            if (t2.id == kPoison || t2.w != batch[0].w ||
+                t2.h != batch[0].h || t2.c != batch[0].c) {
+              pending = std::move(t2);
+              have_pending = true;
+              break;
+            }
+            batch.push_back(std::move(t2));
+          }
+          bool ok = batch.size() == 1
+                        ? bridge_process_async(static_cast<int>(d), batch[0],
+                                               scale)
+                        : bridge_process_batch_async(static_cast<int>(d),
+                                                     batch, scale);
+          for (Task& b : batch) {
+            rsio_free(b.pixels);
+            b.pixels = nullptr;
+            if (ok) tosave.put(std::move(b));
+            else std::fprintf(stderr, "process %s failed\n", b.inpath.c_str());
+          }
         }
       });
     }

@@ -180,6 +180,11 @@ class RealSR:
             variant = (
                 "pallas" if self.device.platform not in ("cpu", "gpu") else "dense"
             )
+        if variant == "pallas" and dtype == jnp.float16:
+            # Mosaic has no f16 ('Unsupported type in mosaic dialect');
+            # float16 is the reference-parity mode, not the throughput
+            # mode — run it on the XLA conv path.
+            variant = "dense"
         self.variant = variant
         self.bundle = load_model(
             parampath, modelpath, storage_dtype=dtype, variant=variant

@@ -109,6 +109,26 @@ def process_async(engine_idx: int, pixels: bytes, w: int, h: int, c: int) -> int
     return handle
 
 
+def process_batch_async(engine_idx: int, pixel_list, w: int, h: int, c: int):
+    """Same-shape image stack -> one device batch (tiles of all images
+    share the conv chunks, engine._process_stack_device) -> one handle per
+    image. The C++ CLI's cross-image batching path (REALSR_TPU_IMAGE_BATCH),
+    mirroring pipeline.proc_worker."""
+    import numpy as np
+
+    eng = _engines[engine_idx]
+    stack = np.stack(
+        [np.frombuffer(p, dtype=np.uint8).reshape(h, w, c) for p in pixel_list]
+    )
+    buf = eng._process_stack_device(stack)
+    handles = []
+    for i in range(stack.shape[0]):
+        handle = next(_next_handle)
+        _handles[handle] = (eng, buf[i])
+        handles.append(handle)
+    return handles
+
+
 def fetch(handle: int) -> bytes:
     """The one D2H per image; consumes the handle."""
     eng, buf = _handles.pop(handle)

@@ -149,6 +149,17 @@ def test_progress_callback(engine, rng):
     assert all(b >= a for a, b in zip(fracs, fracs[1:]))
 
 
+def test_fp16_forces_dense_variant(tiny_model_dir):
+    """Mosaic has no f16 type; float16 storage must fall back to the XLA
+    conv path even when the pallas variant is requested."""
+    e = RealSR(
+        gpuid=-1,
+        config=EngineConfig(tilesize=16, storage="float16", variant="pallas"),
+    )
+    e.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    assert e.variant == "dense"
+
+
 def test_precompile_then_process(engine, rng):
     """precompile() AOT-builds the exact programs a shape needs; a
     subsequent process() of that shape runs correctly (serving warm-up)."""
