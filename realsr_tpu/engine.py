@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Callable, Optional
 
 import numpy as np
@@ -39,7 +40,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from realsr_tpu.loader import ModelBundle, load_model
 from realsr_tpu.parallel.mesh import TILE_AXIS, replicated
-from realsr_tpu.ops.pad import reflect101_pad2d
+from realsr_tpu.ops.pad import reflect101_pad2d, reflect101_pad_w
 from realsr_tpu.ops.resize import bicubic_x4, resize_nhwc
 from realsr_tpu.ops.tta import NUM_TRANSFORMS, d4_inverse, d4_transform
 from realsr_tpu.tiling.planner import auto_tilesize, pick_tilesize, plan_tiles
@@ -230,6 +231,18 @@ class RealSR:
             alpha = img_u8[..., 3:].astype(jnp.float32)  # empty if C==3
             return padded, alpha
 
+        def prep_band(band_u8, pad_):
+            """Band with its 2*pad vertical context rows already attached
+            (real neighbor rows; reflect-101 of the FULL image at global
+            edges — assembled host-side): pad only W. Tile extraction then
+            sees byte-identical padded windows to the full-image path."""
+            color = band_u8[..., :3].astype(jnp.float32) * (1.0 / 255.0)
+            padded = reflect101_pad_w(color.astype(dtype), pad_)
+            alpha = band_u8[:, pad_ : band_u8.shape[1] - pad_, :, 3:].astype(
+                jnp.float32
+            )
+            return padded, alpha
+
         def tile_color(tiles, ph, pw, hn, wn, tta):
             """[B,ph,pw,3] storage -> u8 [B,hn*s,wn*s,3] (forward + TTA +
             halo crop + reference rounding)."""
@@ -328,6 +341,7 @@ class RealSR:
         static = (6, 7, 8, 9, 10, 11)
         if self.mesh is None:
             self._prep = jax.jit(prep, static_argnums=(1,))
+            self._prep_band = jax.jit(prep_band, static_argnums=(1,))
             self._run_chunk = jax.jit(
                 run_chunk, static_argnums=static, donate_argnums=(2,)
             )
@@ -339,6 +353,12 @@ class RealSR:
             shd_b = NamedSharding(self.mesh, P(TILE_AXIS))
             self._prep = jax.jit(
                 prep,
+                static_argnums=(1,),
+                in_shardings=(rep,),
+                out_shardings=(rep, rep),
+            )
+            self._prep_band = jax.jit(
+                prep_band,
                 static_argnums=(1,),
                 in_shardings=(rep,),
                 out_shardings=(rep, rep),
@@ -456,21 +476,38 @@ class RealSR:
             jnp.zeros((n_img, h * s, w * s, c), dtype=jnp.uint8), where
         )
 
-        done = 0
-        total = len(plan.tiles) * n_img
-        for (ph, pw), idxs in plan.buckets.items():
+        buckets = {
+            shape: [
+                (i, plan.tiles[t].x0, plan.tiles[t].y0)
+                for i in range(n_img)
+                for t in idxs
+            ]
+            for shape, idxs in plan.buckets.items()
+        }
+        out_buf, _ = self._dispatch_buckets(
+            padded, alpha, out_buf, buckets, tilesize, c,
+            progress_cb, 0, len(plan.tiles) * n_img,
+        )
+        return out_buf
+
+    def _dispatch_buckets(
+        self, padded, alpha, out_buf, buckets, tilesize, c,
+        progress_cb, done, total,
+    ):
+        """Dispatch all tile chunks. ``buckets``: {(ph, pw): [(img_idx, x0,
+        y0)]} with origins in PADDED-BUFFER coords (y0 is band-local under
+        band streaming). Returns (out_buf, done)."""
+        pad = self.prepadding
+        for (ph, pw), triples in buckets.items():
             hn, wn = ph - 2 * pad, pw - 2 * pad
-            pairs = [(i, t) for i in range(n_img) for t in idxs]
-            n = len(pairs)
+            n = len(triples)
             bsz, nc = self._chunking(tilesize, n)
-            pairs = pairs + [pairs[-1]] * (nc * bsz - n)
-            imgs = np.asarray([p[0] for p in pairs], np.int32).reshape(nc, bsz)
-            xs = np.asarray(
-                [plan.tiles[p[1]].x0 for p in pairs], np.int32
-            ).reshape(nc, bsz)
-            ys = np.asarray(
-                [plan.tiles[p[1]].y0 for p in pairs], np.int32
-            ).reshape(nc, bsz)
+            # pad the tile list to whole chunks — duplicated tiles rewrite
+            # identical bytes on scatter
+            triples = triples + [triples[-1]] * (nc * bsz - n)
+            imgs = np.asarray([t[0] for t in triples], np.int32).reshape(nc, bsz)
+            xs = np.asarray([t[1] for t in triples], np.int32).reshape(nc, bsz)
+            ys = np.asarray([t[2] for t in triples], np.int32).reshape(nc, bsz)
             for k in range(nc):
                 with tracer.span("dispatch"):
                     out_buf = self._run_chunk(
@@ -484,7 +521,7 @@ class RealSR:
                     # counter (realsr.cpp:481), not async dispatch depth.
                     np.asarray(jax.device_get(out_buf.ravel()[0]))
                     progress_cb(done / total)
-        return out_buf
+        return out_buf, done
 
     def process_device(
         self,
@@ -514,9 +551,105 @@ class RealSR:
 
         process_device dispatches asynchronously; callers that want to
         overlap the D2H with the next image's compute (the pipeline's save
-        stage does) use process_device/fetch directly.
+        stage does) use process_device/fetch directly. Images whose device
+        footprint exceeds the band budget stream through
+        :meth:`process_banded` (bit-identical output, O(band) memory).
         """
+        if self.needs_banding(image.shape):
+            return self.process_banded(image, progress_cb)
         return self.fetch(self.process_device(image, progress_cb))
+
+    # -- band streaming (O(band) device memory for huge images) ---------
+
+    def _band_budget_bytes(self) -> int:
+        return (
+            int(os.environ.get("REALSR_TPU_BAND_BUDGET_MB", "2048"))
+            * 1024 * 1024
+        )
+
+    def _footprint_bytes(self, h: int, w: int, c: int) -> int:
+        """Device bytes for full-image processing: padded storage input +
+        uint8 output (the two resident buffers; chunk working set is
+        O(tile^2) on top)."""
+        p, s = self.prepadding, self.scale
+        dsize = jnp.dtype(self.storage_dtype).itemsize if hasattr(self, "storage_dtype") else 4
+        return (h + 2 * p) * (w + 2 * p) * 3 * dsize + h * s * w * s * c
+
+    def needs_banding(self, shape) -> bool:
+        """True when a full-image run would exceed the band budget — the
+        reference bounds memory at O(tile^2) by streaming row bands
+        (src/realsr.cpp:176-228, SURVEY.md §5); this is the engine's
+        equivalent for arbitrarily large inputs."""
+        h, w, c = shape
+        return self._footprint_bytes(h, w, c) > self._band_budget_bytes()
+
+    def _auto_band_tile_rows(self, w: int, c: int, tilesize: int) -> int:
+        per_row = self._footprint_bytes(tilesize, w, c) - self._footprint_bytes(
+            0, w, c
+        )
+        return max(1, self._band_budget_bytes() // max(1, 2 * per_row))
+
+    def process_banded(
+        self,
+        image: np.ndarray,
+        progress_cb: Optional[Callable[[float], None]] = None,
+        band_tile_rows: int = 0,
+    ) -> np.ndarray:
+        """Stream the image through the device in horizontal bands of whole
+        tile rows; output is BIT-IDENTICAL to the full-image path.
+
+        Each band ships with its 2*prepadding vertical context rows (real
+        neighbor rows; reflect-101 of the full image at the global edges),
+        so every tile's padded window is byte-identical to the full-image
+        path's — banding changes memory, never pixels. The previous band's
+        D2H overlaps the current band's compute (the reference's row-band
+        staging pipelined, src/realsr.cpp:184-228)."""
+        from realsr_tpu.ops.pad import reflect101_indices
+
+        if image.dtype != np.uint8 or image.ndim != 3 or image.shape[2] not in (3, 4):
+            raise ValueError("expected uint8 HWC image with 3 or 4 channels")
+        h, w, c = image.shape
+        s, pad = self.scale, self.prepadding
+        tilesize = self._pick_tilesize(w, h)
+        self.last_tilesize = tilesize
+        plan = plan_tiles(w, h, tilesize, pad)
+        btr = band_tile_rows or self._auto_band_tile_rows(w, c, tilesize)
+        rows_idx = reflect101_indices(h, pad, pad)
+        by_row: dict = {}
+        for t in plan.tiles:
+            by_row.setdefault(t.yi, []).append(t)
+        where = replicated(self.mesh) if self.mesh is not None else self.device
+        out = np.empty((h * s, w * s, c), np.uint8)
+        total, done = len(plan.tiles), 0
+        prev = None  # (Y0, Y1, device buf): fetch overlaps next band
+        maybe_start_profiler()
+        for r0 in range(0, plan.ytiles, btr):
+            r1 = min(r0 + btr, plan.ytiles)
+            Y0, Y1 = r0 * tilesize, min(r1 * tilesize, h)
+            band_ext = image[rows_idx[Y0 : Y1 + 2 * pad]]
+            with tracer.span("h2d+prep(band)"):
+                dev = jax.device_put(band_ext[None], where)
+                padded, alpha = self._prep_band(dev, pad)
+            buf = jax.device_put(
+                jnp.zeros((1, (Y1 - Y0) * s, w * s, c), jnp.uint8), where
+            )
+            buckets: dict = {}
+            for yi in range(r0, r1):
+                for t in by_row[yi]:
+                    buckets.setdefault(t.padded_shape(pad), []).append(
+                        (0, t.x0, t.y0 - Y0)
+                    )
+            buf, done = self._dispatch_buckets(
+                padded, alpha, buf, buckets, tilesize, c,
+                progress_cb, done, total,
+            )
+            if prev is not None:
+                p0, p1, pbuf = prev
+                out[p0 * s : p1 * s] = self.fetch(pbuf)[0]
+            prev = (Y0, Y1, buf)
+        p0, p1, pbuf = prev
+        out[p0 * s : p1 * s] = self.fetch(pbuf)[0]
+        return out
 
     def process_batch(self, images) -> list:
         """Batch of SAME-SHAPE uint8 HWC images -> list of host outputs.

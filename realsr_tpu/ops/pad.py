@@ -28,6 +28,24 @@ def reflect101_indices(n: int, pad_lo: int, pad_hi: int) -> np.ndarray:
     return np.where(idx > n - 1, period - idx, idx)
 
 
+def reflect101_pad_w(img: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Pad ONLY the W axis of [..., H, W, C] by ``pad`` with reflect-101.
+
+    Used by band-streamed processing (engine._process_banded): the band
+    already carries its vertical context rows (real neighbor rows, or
+    reflect-101 of the FULL image at the global edges), so only the
+    horizontal halo needs padding — mirroring within a clipped band equals
+    whole-image mirroring horizontally (src/realsr.cpp:180-186 semantics).
+    """
+    w = img.shape[-2]
+    if pad < w:
+        pads = [(0, 0)] * img.ndim
+        pads[img.ndim - 2] = (pad, pad)
+        return jnp.pad(img, pads, mode="reflect")
+    xi = jnp.asarray(reflect101_indices(w, pad, pad))
+    return jnp.take(img, xi, axis=img.ndim - 2)
+
+
 def reflect101_pad2d(img: jnp.ndarray, pad: int) -> jnp.ndarray:
     """Pad H and W of [H, W, C] (or [N, H, W, C]) by ``pad`` with reflect-101.
 

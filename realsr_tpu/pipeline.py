@@ -137,7 +137,16 @@ def proc_worker(
         # overlaps this thread's next image's compute — the TPU analog of
         # the reference's download/compute pipelining opportunity its
         # per-tile submit_and_wait forfeits (realsr.cpp:475-495).
-        if len(batch) == 1:
+        oversized = getattr(engine, "needs_banding", lambda _s: False)(
+            t.inimage.shape
+        )
+        if oversized:
+            # too big for a resident device buffer: band-stream each image
+            # (O(band) device memory, bit-identical output); results land
+            # on host — engine.fetch passes host arrays through on save
+            for b in batch:
+                b.outimage = (engine, engine.process_banded(b.inimage, progress_cb=cb))
+        elif len(batch) == 1:
             t.outimage = (engine, engine.process_device(t.inimage, progress_cb=cb))
         else:
             import numpy as _np

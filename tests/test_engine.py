@@ -149,6 +149,45 @@ def test_progress_callback(engine, rng):
     assert all(b >= a for a, b in zip(fracs, fracs[1:]))
 
 
+def test_banded_matches_full_exactly(engine, rng):
+    """Band-streamed processing must be BIT-IDENTICAL to the full-image
+    path (bands carry real vertical context rows) — including ragged
+    bottom tile rows and alpha."""
+    for shape in ((70, 34, 3), (52, 20, 4)):  # ragged grids at T=16
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        full = engine.process(img)
+        for btr in (1, 2, 3):
+            banded = engine.process_banded(img, band_tile_rows=btr)
+            np.testing.assert_array_equal(full, banded)
+
+
+def test_banded_tta_matches_full(tiny_model_dir, rng):
+    cfg = EngineConfig(tilesize=16, storage="float32")
+    e = RealSR(gpuid=-1, tta_mode=True, config=cfg)
+    e.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    img = rng.integers(0, 256, (40, 24, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        e.process(img), e.process_banded(img, band_tile_rows=1)
+    )
+
+
+def test_needs_banding_trigger(engine, monkeypatch):
+    assert not engine.needs_banding((100, 100, 3))
+    # 20000^2 output u8 = 19 GB >> any budget
+    assert engine.needs_banding((20000, 20000, 3))
+    monkeypatch.setenv("REALSR_TPU_BAND_BUDGET_MB", "0")
+    assert engine.needs_banding((100, 100, 3))  # zero budget forces banding
+
+
+def test_process_routes_to_banded(engine, rng, monkeypatch):
+    """process() transparently bands when over budget; output identical."""
+    img = rng.integers(0, 256, (40, 24, 3), dtype=np.uint8)
+    full = engine.process(img)
+    monkeypatch.setenv("REALSR_TPU_BAND_BUDGET_MB", "0")
+    assert engine.needs_banding(img.shape)
+    np.testing.assert_array_equal(full, engine.process(img))
+
+
 def test_fp16_forces_dense_variant(tiny_model_dir):
     """Mosaic has no f16 type; float16 storage must fall back to the XLA
     conv path even when the pallas variant is requested."""
