@@ -614,6 +614,13 @@ class RealSR:
         self.last_tilesize = tilesize
         plan = plan_tiles(w, h, tilesize, pad)
         btr = band_tile_rows or self._auto_band_tile_rows(w, c, tilesize)
+        # equalize band heights: ceil-divide the tile rows into the same
+        # number of bands but at uniform size, so every band (except a
+        # ragged image bottom) reuses ONE compiled program set instead of
+        # compiling a second shape for the remainder band
+        btr = min(btr, plan.ytiles)
+        nbands = -(-plan.ytiles // btr)
+        btr = -(-plan.ytiles // nbands)
         rows_idx = reflect101_indices(h, pad, pad)
         by_row: dict = {}
         for t in plan.tiles:
