@@ -236,6 +236,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     # until the first backend use (tests/conftest.py has the same note).
     import jax
 
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the user EXPLICITLY pinned the CPU backend; a sitecustomize hook
+        # may have registered an accelerator platform regardless of the env
+        # var, so reassert it via jax.config (wins until first backend use)
+        jax.config.update("jax_platforms", "cpu")
     if gpuid and all(g == -1 for g in gpuid):
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
@@ -266,9 +271,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     jobs_load = min(jobs_load, cpu_count)
     jobs_save = min(jobs_save, cpu_count)
 
+    # mirror the engine's pool semantics: gpu ids index the accelerator
+    # pool, or all devices on a CPU-only host (virtual meshes included)
     accel_count = len([d for d in jax.devices() if d.platform != "cpu"])
+    pool_n = accel_count or len(jax.devices())
     for g in gpuid:
-        if g < -1 or g >= max(accel_count, 1):
+        if g < -1 or g >= pool_n:
             print("invalid gpu device", file=sys.stderr)
             return -1
 

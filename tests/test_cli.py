@@ -137,6 +137,26 @@ def test_directory_e2e_with_alpha_and_formats(cli_model_dir, img_dir, tmp_path):
     assert arr.shape == (40, 44, 4)  # alpha survives lossless webp
 
 
+def test_multi_device_work_stealing(cli_model_dir, img_dir, tmp_path):
+    """-g 0,1: one engine per device id pulling from the shared queue
+    (reference multi-GPU mode, main.cpp:778-791) — runs on two of the
+    virtual CPU devices; outputs match the single-device run."""
+    out1, out2 = tmp_path / "one", tmp_path / "two"
+    out1.mkdir()
+    out2.mkdir()
+    r = run_cli(["-i", img_dir, "-o", str(out1), "-m", cli_model_dir,
+                 "-g", "-1"])
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["-i", img_dir, "-o", str(out2), "-m", cli_model_dir,
+                 "-g", "0,1", "-j", "1:1,1:1"])
+    assert r.returncode == 0, r.stderr
+    for name in os.listdir(out1):
+        a = np.asarray(Image.open(out1 / name))
+        b = np.asarray(Image.open(out2 / name))
+        d = np.abs(a.astype(int) - b.astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 0.01
+
+
 def test_alpha_jpg_redirect(cli_model_dir, img_dir, tmp_path):
     out = tmp_path / "out.jpg"
     r = run_cli(
