@@ -217,8 +217,9 @@ def _inner_product(
     x: jnp.ndarray, layer: Layer, params: Dict[str, jnp.ndarray], storage_dtype
 ) -> jnp.ndarray:
     # ncnn flattens CHW; transpose NHWC -> NCHW first for matching order.
+    # Already-flat input (e.g. after a Flatten layer) passes through.
     n = x.shape[0]
-    flat = x.transpose(0, 3, 1, 2).reshape(n, -1)
+    flat = x if x.ndim == 2 else x.transpose(0, 3, 1, 2).reshape(n, -1)
     w = params["weight"].astype(storage_dtype)  # [num_output, in_features]
     y = jnp.dot(flat, w.T, preferred_element_type=jnp.float32)
     if layer.pi(1):

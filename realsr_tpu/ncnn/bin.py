@@ -88,6 +88,18 @@ def load_weights(graph: ParamGraph, path: str) -> Dict[str, Dict[str, np.ndarray
 
     out: Dict[str, Dict[str, np.ndarray]] = {}
     for layer in graph.layers:
+        if layer.type == "InnerProduct":
+            # params: 0=num_output, 1=bias_term, 2=weight_data_size;
+            # record layout identical to Convolution (tagged weights, raw
+            # f32 bias)
+            num_output = layer.pi(0)
+            wsize = layer.pi(2)
+            w = _read_tagged(cur, wsize).reshape(num_output, wsize // num_output)
+            rec = {"weight": w}
+            if layer.pi(1):
+                rec["bias"] = _read_raw_f32(cur, num_output)
+            out[layer.name] = rec
+            continue
         if layer.type not in ("Convolution", "ConvolutionDepthWise"):
             continue
         num_output = layer.pi(0)
@@ -115,6 +127,19 @@ def write_weights(
     """Write a tag-0 fp32 .bin matching the given graph's layer order."""
     chunks: List[bytes] = []
     for layer in graph.layers:
+        if layer.type == "InnerProduct":
+            rec = weights[layer.name]
+            w = np.asarray(rec["weight"], dtype="<f4")
+            if int(w.size) != layer.pi(2):
+                raise ValueError(
+                    f"{layer.name}: weight has {w.size} elements, "
+                    f".param declares {layer.pi(2)}"
+                )
+            chunks.append(struct.pack("<I", 0))
+            chunks.append(w.tobytes())
+            if layer.pi(1):
+                chunks.append(np.asarray(rec["bias"], dtype="<f4").tobytes())
+            continue
         if layer.type not in ("Convolution", "ConvolutionDepthWise"):
             continue
         rec = weights[layer.name]
