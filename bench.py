@@ -89,9 +89,13 @@ def main() -> int:
     buf = eng.process_device(img)  # warmup: jit compile + first run
     fence(buf)
     warmup_s = time.perf_counter() - t0
-    # warm = every program came from the persistent compile cache
-    # (engine._enable_compilation_cache); cold = at least one real compile
-    cache_state = "warm" if cache_entries() == n_before else "cold"
+    # warm = the expensive programs came from the persistent compile cache
+    # (engine._enable_compilation_cache). One tiny helper program has a
+    # nondeterministic key and recompiles every run (~1s), so judge by
+    # time, and report the new-entry count for forensics: a cold fused-
+    # kernel compile is >100s (BASELINE.md), warm deserialize is <60s.
+    new_entries = cache_entries() - n_before
+    cache_state = "warm" if warmup_s < 60 else "cold"
 
     times = []
     for _ in range(reps):
@@ -143,6 +147,7 @@ def main() -> int:
                 "vs_baseline": round(mps / NORTH_STAR_OUT_MPS, 3),
                 "warmup_s": round(warmup_s, 1),
                 "compile_cache": cache_state,
+                "new_cache_entries": new_entries,
                 "d2h_s": round(d2h_s, 2),
                 "psnr_db_vs_f32_golden": psnr_db,
                 "reps": reps,
