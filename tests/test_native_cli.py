@@ -24,10 +24,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def run_binary(args, cwd=None):
+def run_binary(args, cwd=None, extra_env=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra_env or {})
     return subprocess.run(
         [BINARY] + args, capture_output=True, text=True, env=env, cwd=cwd,
         timeout=300,
@@ -108,6 +109,34 @@ def test_binary_exe_relative_model_fallback(tmp_path, rng, dl2k_model_dir):
         assert out.exists()
     finally:
         shutil.rmtree(target, ignore_errors=True)
+
+
+def test_binary_image_batching_matches_singles(tmp_path, rng, dl2k_model_dir):
+    """REALSR_TPU_IMAGE_BATCH drains same-shape queued tasks into one
+    device batch (bridge process_batch_async); outputs equal the unbatched
+    run's."""
+    from PIL import Image
+
+    ind = tmp_path / "in"
+    out1 = tmp_path / "o1"
+    out2 = tmp_path / "o2"
+    for d in (ind, out1, out2):
+        d.mkdir()
+    for i in range(5):
+        img = rng.integers(0, 256, (14, 12, 3), dtype=np.uint8)
+        Image.fromarray(img).save(ind / f"{i}.png")
+    base = ["-i", str(ind), "-m", dl2k_model_dir, "-g", "-1"]
+    r = run_binary(base + ["-o", str(out1)])
+    assert r.returncode == 0, r.stderr
+    r = run_binary(base + ["-o", str(out2), "-j", "1:1:1"],
+                   extra_env={"REALSR_TPU_IMAGE_BATCH": "4"})
+    assert r.returncode == 0, r.stderr
+    for i in range(5):
+        a = np.asarray(Image.open(out1 / f"{i}.png"))
+        b = np.asarray(Image.open(out2 / f"{i}.png"))
+        d = np.abs(a.astype(int) - b.astype(int))
+        assert a.shape == (56, 48, 3)
+        assert d.max() <= 1 and (d > 0).mean() < 0.01
 
 
 def test_binary_usage_error():
