@@ -51,7 +51,9 @@ from realsr_tpu.utils.trace import maybe_start_profiler, tracer
 class EngineConfig:
     tilesize: int = 0  # 0 = auto per image (planner.pick_tilesize)
     prepadding: int = 10  # DF2K halo (src/main.cpp:661-667)
-    storage: str = "auto"  # "auto" | "float32" | "bfloat16"
+    # "auto" | "float32" | "bfloat16" | "float16" (reference-parity mode;
+    # runs on the XLA conv path — Mosaic has no f16)
+    storage: str = "auto"
     max_batch: int = 0  # 0 = auto from tilesize
     # RDB conv formulation: "auto" | "dense" | "scatter" | "pallas".
     # auto = the fused Pallas kernel on accelerators (2.7x the XLA conv
