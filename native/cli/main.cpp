@@ -310,7 +310,10 @@ std::string get_executable_directory() {
 }
 
 std::string sanitize_filepath(const std::string& path) {
-  if (path_exists(path)) return path;
+  // CWD-relative first, then exe-relative (filesystem_utils.h:167-173);
+  // absolute paths have no exe-relative reading — leave them untouched so
+  // diagnostics show what the user actually typed.
+  if (path_exists(path) || (!path.empty() && path[0] == '/')) return path;
   return get_executable_directory() + "/" + path;
 }
 
@@ -464,8 +467,9 @@ int main(int argc, char** argv) {
   std::string modelpath =
       sanitize_filepath(model + "/x" + std::to_string(scale) + ".bin");
   if (!path_exists(parampath) || !path_exists(modelpath)) {
-    std::fprintf(stderr, "model files not found: %s / %s\n", parampath.c_str(),
-                 modelpath.c_str());
+    std::fprintf(stderr,
+                 "model files not found under -m %s (tried %s / %s)\n",
+                 model.c_str(), parampath.c_str(), modelpath.c_str());
     return -1;
   }
 

@@ -423,6 +423,11 @@ class RealSR:
             raise RuntimeError("call load() first")
         if channels not in (3, 4):
             raise ValueError("channels must be 3 or 4")
+        if n_img == 1 and self.needs_banding((h, w, channels)):
+            # process() will band-stream this shape — precompile the BAND
+            # programs the real request will run, not a full-image program
+            # set it never touches.
+            return self._precompile_banded(w, h, channels)
         S = jax.ShapeDtypeStruct
         s, pad = self.scale, self.prepadding
         img = S((n_img, h, w, channels), jnp.uint8)
@@ -447,6 +452,53 @@ class RealSR:
                 channels == 4,
             ).compile()
             count += 1
+        return count
+
+    def _precompile_banded(self, w: int, h: int, channels: int) -> int:
+        """AOT-compile the band program set :meth:`process_banded` will run
+        for a (w, h, channels) image — mirrors its band layout exactly
+        (equalized uniform bands + possibly-ragged bottom band)."""
+        S = jax.ShapeDtypeStruct
+        s, pad = self.scale, self.prepadding
+        tilesize = self._pick_tilesize(w, h)
+        plan = plan_tiles(w, h, tilesize, pad)
+        btr = self._equalized_band_rows(
+            plan.ytiles, self._auto_band_tile_rows(w, channels, tilesize)
+        )
+        by_row: dict = {}
+        for t in plan.tiles:
+            by_row.setdefault(t.yi, []).append(t)
+        count = 0
+        seen = set()
+        for r0 in range(0, plan.ytiles, btr):
+            r1 = min(r0 + btr, plan.ytiles)
+            Y0, Y1 = r0 * tilesize, min(r1 * tilesize, h)
+            bh = Y1 - Y0
+            if ("prep", bh) not in seen:
+                seen.add(("prep", bh))
+                band = S((1, bh + 2 * pad, w, channels), jnp.uint8)
+                self._prep_band.lower(band, pad).compile()
+                count += 1
+            padded = S((1, bh + 2 * pad, w + 2 * pad, 3), self.storage_dtype)
+            alpha = S((1, bh, w, 1 if channels == 4 else 0), jnp.float32)
+            out_buf = S((1, bh * s, w * s, channels), jnp.uint8)
+            buckets: dict = {}
+            for yi in range(r0, r1):
+                for t in by_row[yi]:
+                    buckets.setdefault(t.padded_shape(pad), []).append(t)
+            for (ph, pw), tl in buckets.items():
+                bsz, _ = self._chunking(tilesize, len(tl))
+                key = (bh, ph, pw, bsz)
+                if key in seen:
+                    continue
+                seen.add(key)
+                ivec = S((bsz,), jnp.int32)
+                self._run_chunk.lower(
+                    padded, alpha, out_buf, ivec, ivec, ivec,
+                    ph, pw, ph - 2 * pad, pw - 2 * pad, self.tta_mode,
+                    channels == 4,
+                ).compile()
+                count += 1
         return count
 
     def _process_stack_device(
@@ -518,10 +570,12 @@ class RealSR:
                     )
                 done += min(bsz, n - k * bsz)  # exclude pad-duplicate tiles
                 if progress_cb is not None:
-                    # fence this chunk (one tiny fetch) so the reported %
-                    # reflects COMPLETED work like the reference's per-tile
-                    # counter (realsr.cpp:481), not async dispatch depth.
-                    np.asarray(jax.device_get(out_buf.ravel()[0]))
+                    # fence this chunk (one O(1) element fetch — never
+                    # ravel/reshape, which dispatches an O(output) copy) so
+                    # the reported % reflects COMPLETED work like the
+                    # reference's per-tile counter (realsr.cpp:481), not
+                    # async dispatch depth.
+                    np.asarray(out_buf[0, 0, 0, 0])
                     progress_cb(done / total)
         return out_buf, done
 
@@ -585,6 +639,24 @@ class RealSR:
         h, w, c = shape
         return self._footprint_bytes(h, w, c) > self._band_budget_bytes()
 
+    def max_batch_images(self, shape) -> int:
+        """How many images of ``shape`` a resident device stack can hold
+        within the band budget (cross-image batching's memory cap — the
+        stack path allocates N x the per-image footprint)."""
+        h, w, c = shape
+        per = max(1, self._footprint_bytes(h, w, c))
+        return max(1, self._band_budget_bytes() // per)
+
+    @staticmethod
+    def _equalized_band_rows(ytiles: int, btr: int) -> int:
+        """Equalize band heights: ceil-divide the tile rows into the same
+        number of bands but at uniform size, so every band (except a ragged
+        image bottom) reuses ONE compiled program set instead of compiling
+        a second shape for the remainder band."""
+        btr = min(btr, ytiles)
+        nbands = -(-ytiles // btr)
+        return -(-ytiles // nbands)
+
     def _auto_band_tile_rows(self, w: int, c: int, tilesize: int) -> int:
         per_row = self._footprint_bytes(tilesize, w, c) - self._footprint_bytes(
             0, w, c
@@ -616,13 +688,7 @@ class RealSR:
         self.last_tilesize = tilesize
         plan = plan_tiles(w, h, tilesize, pad)
         btr = band_tile_rows or self._auto_band_tile_rows(w, c, tilesize)
-        # equalize band heights: ceil-divide the tile rows into the same
-        # number of bands but at uniform size, so every band (except a
-        # ragged image bottom) reuses ONE compiled program set instead of
-        # compiling a second shape for the remainder band
-        btr = min(btr, plan.ytiles)
-        nbands = -(-plan.ytiles // btr)
-        btr = -(-plan.ytiles // nbands)
+        btr = self._equalized_band_rows(plan.ytiles, btr)
         rows_idx = reflect101_indices(h, pad, pad)
         by_row: dict = {}
         for t in plan.tiles:
@@ -670,6 +736,20 @@ class RealSR:
         images = np.stack(list(images))
         if images.dtype != np.uint8 or images.ndim != 4 or images.shape[3] not in (3, 4):
             raise ValueError("expected same-shape uint8 HWC images, C in {3,4}")
+        n = images.shape[0]
+        cap = self.max_batch_images(images.shape[1:])
+        if n > cap:
+            # stack would blow the device budget: split into fitting
+            # sub-stacks (each image individually over budget band-streams
+            # through process())
+            out: list = []
+            for k in range(0, n, cap):
+                sub = images[k : k + cap]
+                if len(sub) == 1 or cap == 1:
+                    out.extend(self.process(img) for img in sub)
+                else:
+                    out.extend(self.process_batch(sub))
+            return out
         out = self.fetch(self._process_stack_device(images))
         return [out[i] for i in range(out.shape[0])]
 

@@ -311,8 +311,13 @@ def build_forward(
                 outs = [ins[0].transpose(0, 3, 1, 2).reshape(n, -1)]
             elif t == "InnerProduct":
                 outs = [_inner_product(ins[0], layer, params[layer.name], storage_dtype)]
-            elif t == "Noop":
-                outs = [ins[0]]
+            elif t in ("Noop", "Packing", "Cast"):
+                # ncnn-internal layout/dtype plumbing (compiled into the
+                # reference's runtime, src/CMakeLists.txt:110-204): Packing
+                # reorders SIMD lanes and Cast converts storage dtype —
+                # both are owned by XLA here, so graphs that carry them
+                # execute as pass-throughs.
+                outs = [ins[0]] * max(1, len(layer.outputs))
             else:
                 raise NotImplementedError(f"{layer.name}: layer type {t!r}")
             for b, v in zip(layer.outputs, outs):

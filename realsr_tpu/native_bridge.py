@@ -82,16 +82,25 @@ def device_count() -> int:
 
 
 def _dispatch(engine_idx: int, pixels: bytes, w: int, h: int, c: int):
-    import sys
-
     import numpy as np
 
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, c)
+    return _dispatch_img(engine_idx, img)
+
+
+def _dispatch_img(engine_idx: int, img):
+    import sys
+
     eng = _engines[engine_idx]
 
     def cb(frac):  # per-tile progress contract (realsr.cpp:481)
         print(f"{frac * 100.0:.2f}%", file=sys.stderr)
 
+    if eng.needs_banding(img.shape):
+        # over the device budget: band-stream (O(band) memory,
+        # bit-identical) exactly like the Python CLI; the result is a HOST
+        # array, which engine.fetch passes through unchanged
+        return eng, eng.process_banded(img, progress_cb=cb)
     return eng, eng.process_device(img, progress_cb=cb)
 
 
@@ -117,15 +126,24 @@ def process_batch_async(engine_idx: int, pixel_list, w: int, h: int, c: int):
     import numpy as np
 
     eng = _engines[engine_idx]
-    stack = np.stack(
-        [np.frombuffer(p, dtype=np.uint8).reshape(h, w, c) for p in pixel_list]
-    )
-    buf = eng._process_stack_device(stack)
+    imgs = [np.frombuffer(p, dtype=np.uint8).reshape(h, w, c) for p in pixel_list]
     handles = []
-    for i in range(stack.shape[0]):
-        handle = next(_next_handle)
-        _handles[handle] = (eng, buf[i])
-        handles.append(handle)
+    cap = eng.max_batch_images((h, w, c))
+    for k in range(0, len(imgs), max(1, cap)):
+        sub = imgs[k : k + max(1, cap)]
+        if len(sub) == 1 or cap < 2:
+            # stack over budget (or single image): per-image path, which
+            # band-streams oversized images like the Python pipeline
+            for img in sub:
+                handle = next(_next_handle)
+                _handles[handle] = _dispatch_img(engine_idx, img)
+                handles.append(handle)
+            continue
+        buf = eng._process_stack_device(np.stack(sub))
+        for i in range(len(sub)):
+            handle = next(_next_handle)
+            _handles[handle] = (eng, buf[i])
+            handles.append(handle)
     return handles
 
 

@@ -116,7 +116,14 @@ def proc_worker(
         if t.id == POISON_ID:
             break
         batch = [t]
-        while image_batch > 1 and len(batch) < image_batch:
+        # never drain more images than fit the device budget as one stack
+        limit = min(
+            image_batch,
+            getattr(engine, "max_batch_images", lambda _s: image_batch)(
+                t.inimage.shape
+            ),
+        )
+        while limit > 1 and len(batch) < limit:
             t2 = toproc.get_nowait()
             if t2 is None:
                 break
@@ -124,22 +131,27 @@ def proc_worker(
                 pending = t2  # not ours to batch; hold for next iteration
                 break
             batch.append(t2)
+        oversized = getattr(engine, "needs_banding", lambda _s: False)(
+            t.inimage.shape
+        )
         cb = None
-        if progress and len(batch) == 1:
-            def cb(frac, _t=t):  # per-tile % like realsr.cpp:481
+        if progress and (oversized or len(batch) == 1):
+            # per-tile % like realsr.cpp:481; banded batches process
+            # sequentially (one image per banded run), so the per-image
+            # stream is accurate there too — 0..100 per image, like the
+            # reference processing the same files one by one
+            def cb(frac):
                 print(f"{frac * 100.0:.2f}%", file=sys.stderr)
         elif progress:
-            # a single % stream cannot be attributed to one image; label
-            # the whole stack instead of misreporting per-image progress
+            # one batched dispatch over the whole stack: a single % stream
+            # cannot be attributed to one image; label the stack instead
+            # of misreporting per-image progress
             def cb(frac, _n=len(batch)):
                 print(f"batch of {_n}: {frac * 100.0:.2f}%", file=sys.stderr)
         # keep the result ON DEVICE: the save stage's fetch (D2H) then
         # overlaps this thread's next image's compute — the TPU analog of
         # the reference's download/compute pipelining opportunity its
         # per-tile submit_and_wait forfeits (realsr.cpp:475-495).
-        oversized = getattr(engine, "needs_banding", lambda _s: False)(
-            t.inimage.shape
-        )
         if oversized:
             # too big for a resident device buffer: band-stream each image
             # (O(band) device memory, bit-identical output); results land

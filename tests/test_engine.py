@@ -188,6 +188,43 @@ def test_process_routes_to_banded(engine, rng, monkeypatch):
     np.testing.assert_array_equal(full, engine.process(img))
 
 
+def test_process_batch_splits_over_budget_stack(engine, rng, monkeypatch):
+    """A stack that would exceed the device budget is split into fitting
+    sub-stacks (and ultimately banded per image), outputs unchanged."""
+    imgs = [rng.integers(0, 256, (26, 30, 3), dtype=np.uint8) for _ in range(5)]
+    ref = [engine.process(i) for i in imgs]
+    per = engine._footprint_bytes(26, 30, 3)
+    monkeypatch.setattr(engine, "_band_budget_bytes", lambda: int(per * 2.5))
+    assert engine.max_batch_images((26, 30, 3)) == 2
+    out = engine.process_batch(imgs)  # sub-stacks of 2, 2, 1
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_process_batch_bands_each_when_single_over_budget(
+    engine, rng, monkeypatch
+):
+    imgs = [rng.integers(0, 256, (40, 24, 3), dtype=np.uint8) for _ in range(2)]
+    ref = [engine.process(i) for i in imgs]
+    monkeypatch.setenv("REALSR_TPU_BAND_BUDGET_MB", "0")
+    out = engine.process_batch(imgs)  # cap=1, each image band-streams
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_precompile_banded_shapes(engine, rng, monkeypatch):
+    """precompile() on a shape process() will band-stream must compile the
+    BAND program set (prep_band + band-shaped chunks), not dead full-image
+    programs."""
+    img = rng.integers(0, 256, (70, 30, 3), dtype=np.uint8)
+    full = engine.process(img)
+    monkeypatch.setenv("REALSR_TPU_BAND_BUDGET_MB", "0")
+    assert engine.needs_banding(img.shape)
+    n = engine.precompile(30, 70, channels=3)
+    assert n >= 2  # band prep + at least one band chunk program
+    np.testing.assert_array_equal(full, engine.process(img))
+
+
 def test_fp16_forces_dense_variant(tiny_model_dir):
     """Mosaic has no f16 type; float16 storage must fall back to the XLA
     conv path even when the pallas variant is requested."""

@@ -91,6 +91,20 @@ def test_activation_layers(rng):
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_cast_packing_passthrough(rng):
+    """Cast/Packing are ncnn-internal dtype/SIMD-layout plumbing (compiled
+    into the reference runtime, src/CMakeLists.txt:110-204); under XLA they
+    must pass values through untouched."""
+    text = _param([
+        "Input            in  0 1 data",
+        "Cast             c   1 1 data a 0=1 1=2",
+        "Packing          p   1 1 a out 0=4",
+    ])
+    fwd = build_forward(parse_param(text))
+    x = rng.random((1, 3, 4, 2), dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(jax.jit(fwd)({}, x)), x)
+
+
 def test_unknown_layer_raises(rng):
     text = _param([
         "Input            in  0 1 data",

@@ -48,6 +48,28 @@ def test_async_matches_sync(bridge, rng):
         bridge.fetch(h)  # consumed
 
 
+def test_process_bands_over_budget_image(bridge, rng, monkeypatch):
+    """The native surface must route over-budget images through band
+    streaming exactly like the Python CLI (r2 review finding) — output
+    identical, no full-image device buffer."""
+    img = rng.integers(0, 256, (40, 24, 3), dtype=np.uint8)
+    ref = bridge.process(0, img.tobytes(), 24, 40, 3)
+    monkeypatch.setenv("REALSR_TPU_BAND_BUDGET_MB", "0")
+    assert bridge.process(0, img.tobytes(), 24, 40, 3) == ref
+    h = bridge.process_async(0, img.tobytes(), 24, 40, 3)
+    assert bridge.fetch(h) == ref
+
+
+def test_batch_async_over_budget_splits(bridge, rng, monkeypatch):
+    imgs = [rng.integers(0, 256, (10, 12, 3), dtype=np.uint8) for _ in range(3)]
+    refs = [bridge.process(0, im.tobytes(), 12, 10, 3) for im in imgs]
+    monkeypatch.setenv("REALSR_TPU_BAND_BUDGET_MB", "0")
+    handles = bridge.process_batch_async(
+        0, [im.tobytes() for im in imgs], 12, 10, 3
+    )
+    assert [bridge.fetch(h) for h in handles] == refs
+
+
 def test_async_handles_interleave(bridge, rng):
     """Multiple in-flight device results fetch correctly out of order —
     the C++ save threads fetch in whatever order the queue yields."""

@@ -128,6 +128,31 @@ def test_batch_drain_mismatch_no_deadlock():
     assert done == set(range(12))
 
 
+def test_batch_drain_respects_device_budget():
+    """image_batch must be capped by engine.max_batch_images so a drained
+    stack never exceeds the device budget (r2 review finding)."""
+    from realsr_tpu.pipeline import proc_worker
+
+    class BudgetEngine(FakeEngine):
+        stacks: list = []
+
+        def max_batch_images(self, shape):
+            return 2
+
+        def _process_stack_device(self, stack, progress_cb=None):
+            BudgetEngine.stacks.append(stack.shape[0])
+            return super()._process_stack_device(stack, progress_cb)
+
+    toproc = TaskQueue()
+    tosave = TaskQueue(capacity=100)
+    img = np.zeros((4, 4, 3), np.uint8)
+    for i in range(6):
+        toproc.put(Task(id=i, inimage=img))
+    toproc.put(Task(id=POISON_ID))
+    proc_worker(BudgetEngine(), toproc, tosave, False, image_batch=8)
+    assert BudgetEngine.stacks and max(BudgetEngine.stacks) <= 2
+
+
 def test_image_batching_proc(tmp_path, rng, tiny_model_dir):
     """image_batch > 1 drains same-shape queued images into one device
     batch; outputs identical to singles."""
