@@ -238,7 +238,8 @@ def _forward_pallas(params, x, spec, storage_dtype):
         for j in range(spec.num_rdb_per_rrdb):
             pj = jax.tree.map(lambda a: a[j], block_p)
             y = RK.rdb_apply(
-                cur, pj, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc
+                cur, pj, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
+                db=RK.COLS_DB,
             )
             cur = RK.re_apron(y, WB)
         y3 = cur[:, :, 5 * WB : 5 * WB + Hp * WB]

@@ -45,6 +45,10 @@ RESIDUAL_SCALE = 0.2
 
 _CH = 1920  # lane-chunk for stage matmuls (15 lane tiles)
 
+# double-buffer the cols scratch (overlaps tap stores with the previous
+# chunk's matmul); module-level so experiments can A/B at trace time
+COLS_DB = True
+
 
 def _guard_lanes(wb: int) -> int:
     """Guard lanes each side of the VMEM window: must cover the largest tap
@@ -95,6 +99,7 @@ def _rdb_kernel(
     out_ref,
     xg,
     cols_ref,
+    cols2_ref,
     sem,
     *,
     H: int,
@@ -104,6 +109,7 @@ def _rdb_kernel(
     nf: int,
     gc: int,
     ch: int = _CH,
+    db: bool = True,
 ):
     R0 = BLK + 10
     FLAT = R0 * WB
@@ -134,27 +140,34 @@ def _rdb_kernel(
     valid = (trow >= 0) & (trow < H) & (col >= 1) & (col <= W)
 
     offs = [(dy - 1) * WB + (dx - 1) for dy in range(3) for dx in range(3)]
+    chunk_no = [0]  # trace-time counter: alternates the cols buffer
 
     def stage(tg, wj):
         """tg [cin, padf+2G] guarded -> [n_out, FLAT] f32.
 
         Chunked lane-wise; each tap is a lane slice of the guarded input,
-        STORED into cols_ref (stores normalize the arbitrary lane offsets
-        Mosaic cannot concat directly), then one MXU matmul per chunk with
-        channels x taps on the contraction axis.
+        STORED into a cols scratch (stores normalize the arbitrary lane
+        offsets Mosaic cannot concat directly), then one MXU matmul per
+        chunk with channels x taps on the contraction axis. With ``db`` the
+        cols buffer ALTERNATES per chunk: a single buffer puts a
+        write-after-read hazard between chunk k+1's VPU tap stores and
+        chunk k's MXU matmul, serializing them — two buffers let Mosaic
+        overlap the stores with the previous matmul.
         """
         cin = tg.shape[0]
         k = 9 * cin
         outs = []
         for f0 in range(0, padf, ch):
+            buf = cols2_ref if (db and chunk_no[0] % 2) else cols_ref
+            chunk_no[0] += 1
             for t, o in enumerate(offs):
-                cols_ref[t * cin : (t + 1) * cin, :] = tg[
+                buf[t * cin : (t + 1) * cin, :] = tg[
                     0:cin, _G + f0 + o : _G + f0 + o + ch
                 ]
             outs.append(
                 jax.lax.dot_general(
                     wj,
-                    cols_ref[:k, :],
+                    buf[:k, :],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     # bf16 operands: native MXU mode. f32 operands (CPU
@@ -206,7 +219,9 @@ def _rdb_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("H", "W", "WB", "BLK", "nblk", "nf", "gc", "ch", "interpret"),
+    static_argnames=(
+        "H", "W", "WB", "BLK", "nblk", "nf", "gc", "ch", "db", "interpret",
+    ),
 )
 def rdb_apply(
     x_flat: jnp.ndarray,  # [B, nf, (Hp+10)*WB] bf16, aproned
@@ -220,6 +235,7 @@ def rdb_apply(
     nf: int,
     gc: int,
     ch: int = _CH,
+    db: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One fused RDB on the flat transposed layout -> [B, nf, Hp*WB]."""
@@ -229,7 +245,7 @@ def rdb_apply(
     _G = _guard_lanes(WB)
     padf = -(-FLAT // ch) * ch
     kernel = functools.partial(
-        _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nf=nf, gc=gc, ch=ch
+        _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nf=nf, gc=gc, ch=ch, db=db
     )
     rep = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -244,6 +260,7 @@ def rdb_apply(
         out_shape=jax.ShapeDtypeStruct((B, nf, nblk * BLK * WB), x_flat.dtype),
         scratch_shapes=[
             pltpu.VMEM((nf, padf + 2 * _G), x_flat.dtype),
+            pltpu.VMEM((9 * nf, ch), x_flat.dtype),
             pltpu.VMEM((9 * nf, ch), x_flat.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
