@@ -288,6 +288,33 @@ def main(argv: Optional[List[str]] = None) -> int:
         e.load(parampath, modelpath)
         engines.append(e)
 
+    # Optional warm-up (additive; REALSR_TPU_PRECOMPILE=1): AOT-compile the
+    # first image's program set before the pipeline starts. The per-bucket
+    # compiles run concurrently (engine.precompile), so a multi-bucket shape
+    # warms in ~one compile's wall time where lazy first-image compilation
+    # pays each bucket serially.
+    if os.environ.get("REALSR_TPU_PRECOMPILE", "0") not in ("0", "") and input_files:
+        try:
+            from PIL import Image
+
+            with Image.open(input_files[0]) as im:
+                w0, h0 = im.size
+                ch = (
+                    4
+                    if im.mode in ("RGBA", "LA", "PA")
+                    or "transparency" in im.info
+                    else 3
+                )
+            for e in engines:
+                n = e.precompile(w0, h0, channels=ch)
+                if verbose:
+                    print(
+                        f"precompiled {n} programs for {w0}x{h0}",
+                        file=sys.stderr,
+                    )
+        except Exception as ex:  # warm-up must never break processing
+            print(f"precompile skipped: {ex}", file=sys.stderr)
+
     run_pipeline(
         input_files,
         output_files,

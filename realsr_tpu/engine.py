@@ -418,6 +418,11 @@ class RealSR:
         ShapeDtypeStructs — no device compute, no image needed — and the
         artifacts also land in the persistent compile cache, warming every
         later process on this host. Returns the number of programs built.
+
+        The per-shape compiles run CONCURRENTLY (tracing/lowering is
+        GIL-bound Python, but XLA/Mosaic compilation is native and releases
+        the GIL), so a multi-bucket shape warms in ~one compile's wall time
+        instead of the sum.
         """
         if self.bundle is None:
             raise RuntimeError("call load() first")
@@ -431,8 +436,7 @@ class RealSR:
         S = jax.ShapeDtypeStruct
         s, pad = self.scale, self.prepadding
         img = S((n_img, h, w, channels), jnp.uint8)
-        self._prep.lower(img, pad).compile()
-        count = 1
+        lows = [self._prep.lower(img, pad)]
         tilesize = self._pick_tilesize(w, h, n_img)
         plan = plan_tiles(w, h, tilesize, pad)
         padded = S((n_img, h + 2 * pad, w + 2 * pad, 3), self.storage_dtype)
@@ -446,13 +450,29 @@ class RealSR:
                 continue
             seen.add(key)
             ivec = S((bsz,), jnp.int32)
-            self._run_chunk.lower(
+            lows.append(self._run_chunk.lower(
                 padded, alpha, out_buf, ivec, ivec, ivec,
                 ph, pw, ph - 2 * pad, pw - 2 * pad, self.tta_mode,
                 channels == 4,
-            ).compile()
-            count += 1
-        return count
+            ))
+        return self._compile_all(lows)
+
+    @staticmethod
+    def _compile_all(lowereds) -> int:
+        """Compile a list of jax Lowered objects concurrently; returns the
+        count. XLA compilation releases the GIL, so threads overlap the
+        (minutes-scale, BASELINE.md) per-program compiles."""
+        if len(lowereds) > 1:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(
+                max_workers=min(4, len(lowereds))
+            ) as ex:
+                list(ex.map(lambda l: l.compile(), lowereds))
+        else:
+            for l in lowereds:
+                l.compile()
+        return len(lowereds)
 
     def _precompile_banded(self, w: int, h: int, channels: int) -> int:
         """AOT-compile the band program set :meth:`process_banded` will run
@@ -468,7 +488,7 @@ class RealSR:
         by_row: dict = {}
         for t in plan.tiles:
             by_row.setdefault(t.yi, []).append(t)
-        count = 0
+        lows = []
         seen = set()
         for r0 in range(0, plan.ytiles, btr):
             r1 = min(r0 + btr, plan.ytiles)
@@ -477,8 +497,7 @@ class RealSR:
             if ("prep", bh) not in seen:
                 seen.add(("prep", bh))
                 band = S((1, bh + 2 * pad, w, channels), jnp.uint8)
-                self._prep_band.lower(band, pad).compile()
-                count += 1
+                lows.append(self._prep_band.lower(band, pad))
             padded = S((1, bh + 2 * pad, w + 2 * pad, 3), self.storage_dtype)
             alpha = S((1, bh, w, 1 if channels == 4 else 0), jnp.float32)
             out_buf = S((1, bh * s, w * s, channels), jnp.uint8)
@@ -493,13 +512,12 @@ class RealSR:
                     continue
                 seen.add(key)
                 ivec = S((bsz,), jnp.int32)
-                self._run_chunk.lower(
+                lows.append(self._run_chunk.lower(
                     padded, alpha, out_buf, ivec, ivec, ivec,
                     ph, pw, ph - 2 * pad, pw - 2 * pad, self.tta_mode,
                     channels == 4,
-                ).compile()
-                count += 1
-        return count
+                ))
+        return self._compile_all(lows)
 
     def _process_stack_device(
         self,

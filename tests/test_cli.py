@@ -137,6 +137,33 @@ def test_directory_e2e_with_alpha_and_formats(cli_model_dir, img_dir, tmp_path):
     assert arr.shape == (40, 44, 4)  # alpha survives lossless webp
 
 
+def test_precompile_warmup_env(cli_model_dir, img_dir, tmp_path):
+    """REALSR_TPU_PRECOMPILE=1 AOT-warms the first image's programs before
+    the pipeline starts; outputs identical to the lazy-compile run."""
+    out1, out2 = tmp_path / "lazy", tmp_path / "warm"
+    out1.mkdir(), out2.mkdir()
+    base = ["-i", img_dir, "-o", None, "-m", cli_model_dir, "-g", "-1", "-v"]
+    r = run_cli([a if a else str(out1) for a in base])
+    assert r.returncode == 0, r.stderr
+    env_args = [a if a else str(out2) for a in base]
+    import subprocess as sp
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["REALSR_TPU_PRECOMPILE"] = "1"
+    r2 = sp.run(
+        [sys.executable, "-m", "realsr_tpu", *env_args],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert "precompiled" in r2.stderr
+    for n in os.listdir(out1):
+        a = np.asarray(Image.open(out1 / n))
+        b = np.asarray(Image.open(out2 / n))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_multi_device_work_stealing(cli_model_dir, img_dir, tmp_path):
     """-g 0,1: one engine per device id pulling from the shared queue
     (reference multi-GPU mode, main.cpp:778-791) — runs on two of the
