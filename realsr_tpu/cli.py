@@ -285,7 +285,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     for i, g in enumerate(gpuid):
         cfg = EngineConfig(tilesize=tilesize[i], prepadding=prepadding, storage=storage)
         e = RealSR(gpuid=g, tta_mode=tta_mode, num_threads=jobs_proc[i], config=cfg)
-        e.load(parampath, modelpath)
+        try:
+            e.load(parampath, modelpath)
+        except (ValueError, OSError) as ex:
+            # corrupt/truncated model files: clean diagnostic + error exit,
+            # like ncnn's load_param/load_model failure path (the reference
+            # exits on model-load failure rather than crashing)
+            print(f"load model failed: {ex}", file=sys.stderr)
+            return -1
         engines.append(e)
 
     # Optional warm-up (additive; REALSR_TPU_PRECOMPILE=1): AOT-compile the

@@ -114,7 +114,13 @@ def parse_param(text: str) -> ParamGraph:
     lines = [ln for ln in lines if ln and not ln.startswith("#")]
     if not lines:
         raise ValueError("empty .param file")
-    magic = int(lines[0])
+    try:
+        magic = int(lines[0])
+    except ValueError:
+        raise ValueError(
+            f"not an ncnn .param file: first line {lines[0]!r} is not the "
+            f"magic number {NCNN_MAGIC}"
+        ) from None
     if magic != NCNN_MAGIC:
         raise ValueError(f"bad ncnn magic {magic} (expected {NCNN_MAGIC})")
     layer_count_s, blob_count_s = lines[1].split()

@@ -137,6 +137,28 @@ def test_directory_e2e_with_alpha_and_formats(cli_model_dir, img_dir, tmp_path):
     assert arr.shape == (40, 44, 4)  # alpha survives lossless webp
 
 
+def test_corrupt_model_clean_error(cli_model_dir, img_dir, tmp_path):
+    """Truncated .bin / garbage .param exit with a clean diagnostic, not a
+    traceback (reference: ncnn load failure path exits with a message)."""
+    import shutil
+
+    bad = tmp_path / "models-DF2K"
+    bad.mkdir()
+    shutil.copy(f"{cli_model_dir}/x4.param", bad / "x4.param")
+    (bad / "x4.bin").write_bytes(open(f"{cli_model_dir}/x4.bin", "rb").read()[:100])
+    r = run_cli(["-i", f"{img_dir}/a.png", "-o", str(tmp_path / "o.png"),
+                 "-m", str(bad), "-g", "-1"])
+    assert r.returncode != 0
+    assert "load model failed" in r.stderr and "Traceback" not in r.stderr
+
+    (bad / "x4.param").write_text("garbage\n")
+    shutil.copy(f"{cli_model_dir}/x4.bin", bad / "x4.bin")
+    r = run_cli(["-i", f"{img_dir}/a.png", "-o", str(tmp_path / "o.png"),
+                 "-m", str(bad), "-g", "-1"])
+    assert r.returncode != 0
+    assert "load model failed" in r.stderr and "not an ncnn" in r.stderr
+
+
 def test_precompile_warmup_env(cli_model_dir, img_dir, tmp_path):
     """REALSR_TPU_PRECOMPILE=1 AOT-warms the first image's programs before
     the pipeline starts; outputs identical to the lazy-compile run."""
