@@ -281,10 +281,36 @@ def main(argv: Optional[List[str]] = None) -> int:
             return -1
 
     storage = os.environ.get("REALSR_TPU_STORAGE", "auto")
+
+    # TPU-native multi-chip mode (additive; REALSR_TPU_MESH=all|i,j,...):
+    # ONE engine whose tile batches shard over a jax.sharding.Mesh of the
+    # selected devices (ICI), instead of the reference's independent
+    # per-device engines stealing whole images (-g). SURVEY.md §2.2 #3:
+    # the tile axis is this domain's shardable axis.
+    mesh_env = os.environ.get("REALSR_TPU_MESH", "")
+    mesh = None
+    if mesh_env:
+        from realsr_tpu.parallel.mesh import make_mesh
+
+        pool = [d for d in jax.devices() if d.platform != "cpu"] or jax.devices()
+        if mesh_env == "all":
+            devs = pool
+        else:
+            idxs = parse_int_array(mesh_env)
+            if not idxs or any(i < 0 or i >= len(pool) for i in idxs):
+                print("invalid REALSR_TPU_MESH", file=sys.stderr)
+                return -1
+            devs = [pool[i] for i in idxs]
+        mesh = make_mesh(devs)
+        gpuid = gpuid[:1]  # one mesh engine replaces the per-device pool
+
     engines = []
     for i, g in enumerate(gpuid):
         cfg = EngineConfig(tilesize=tilesize[i], prepadding=prepadding, storage=storage)
-        e = RealSR(gpuid=g, tta_mode=tta_mode, num_threads=jobs_proc[i], config=cfg)
+        e = RealSR(
+            gpuid=g, tta_mode=tta_mode, num_threads=jobs_proc[i], config=cfg,
+            mesh=mesh,
+        )
         try:
             e.load(parampath, modelpath)
         except (ValueError, OSError) as ex:
@@ -294,6 +320,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"load model failed: {ex}", file=sys.stderr)
             return -1
         engines.append(e)
+        if mesh is not None and verbose:
+            print(
+                f"mesh mode: {mesh.size} devices, tile batches sharded "
+                f"over {mesh.axis_names[0]!r}",
+                file=sys.stderr,
+            )
 
     # Optional warm-up (additive; REALSR_TPU_PRECOMPILE=1): AOT-compile the
     # first image's program set before the pipeline starts. The per-bucket

@@ -54,6 +54,33 @@ def init(config_json: str) -> int:
     global _engines
     _engines = []
     storage = os.environ.get("REALSR_TPU_STORAGE", "auto")
+
+    # TPU-native multi-chip mode (REALSR_TPU_MESH=all|i,j,...): one engine
+    # sharding tile batches over a device mesh; every C++ proc thread slot
+    # aliases it so engine_idx stays valid (dispatch is thread-safe).
+    mesh_env = os.environ.get("REALSR_TPU_MESH", "")
+    if mesh_env:
+        from realsr_tpu.parallel.mesh import make_mesh
+
+        pool = [d for d in jax.devices() if d.platform != "cpu"] or jax.devices()
+        if mesh_env == "all":
+            devs = pool
+        else:
+            devs = [pool[int(s)] for s in mesh_env.split(",")]
+        e = RealSR(
+            tta_mode=cfg["tta_mode"],
+            num_threads=cfg["jobs_proc"][0],
+            config=EngineConfig(
+                tilesize=cfg["tilesize"][0],
+                prepadding=cfg["prepadding"],
+                storage=storage,
+            ),
+            mesh=make_mesh(devs),
+        )
+        e.load(cfg["parampath"], cfg["modelpath"])
+        _engines = [e] * len(gpuid)
+        return e.scale
+
     for i, g in enumerate(gpuid):
         ec = EngineConfig(
             tilesize=cfg["tilesize"][i],

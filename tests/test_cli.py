@@ -206,6 +206,39 @@ def test_multi_device_work_stealing(cli_model_dir, img_dir, tmp_path):
         assert d.max() <= 1 and (d > 0).mean() < 0.01
 
 
+def test_mesh_mode_cli(cli_model_dir, img_dir, tmp_path):
+    """REALSR_TPU_MESH=all: one engine sharding tile batches over the
+    8-device virtual mesh, from the CLI surface; outputs identical to the
+    single-device run (engine-level mesh==single equality holds on the
+    same backend, tests/test_sharding.py)."""
+    out1, out2 = tmp_path / "single.png", tmp_path / "mesh.png"
+    r = run_cli(["-i", f"{img_dir}/a.png", "-o", str(out1),
+                 "-m", cli_model_dir, "-g", "-1"])
+    assert r.returncode == 0, r.stderr
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["REALSR_TPU_MESH"] = "all"
+    r2 = subprocess.run(
+        [sys.executable, "-m", "realsr_tpu", "-i", f"{img_dir}/a.png",
+         "-o", str(out2), "-m", cli_model_dir, "-v"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert "mesh mode: 8 devices" in r2.stderr
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(out1)), np.asarray(Image.open(out2))
+    )
+    # invalid index list
+    env["REALSR_TPU_MESH"] = "0,99"
+    r3 = subprocess.run(
+        [sys.executable, "-m", "realsr_tpu", "-i", f"{img_dir}/a.png",
+         "-o", str(out2), "-m", cli_model_dir],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r3.returncode != 0 and "invalid REALSR_TPU_MESH" in r3.stderr
+
+
 def test_alpha_jpg_redirect(cli_model_dir, img_dir, tmp_path):
     out = tmp_path / "out.jpg"
     r = run_cli(

@@ -48,6 +48,34 @@ def test_async_matches_sync(bridge, rng):
         bridge.fetch(h)  # consumed
 
 
+def test_bridge_mesh_mode(tiny_model_dir, rng, monkeypatch):
+    """REALSR_TPU_MESH=all through the bridge: one mesh engine aliased to
+    every gpuid slot; output matches the non-mesh engine."""
+    monkeypatch.setenv("REALSR_TPU_MESH", "all")
+    saved = nb._engines  # module-scoped bridge fixture must survive this test
+    scale = nb.init(json.dumps({
+        "gpuid": [0, 1],
+        "tilesize": [16, 16],
+        "jobs_proc": [1, 1],
+        "prepadding": 10,
+        "tta_mode": False,
+        "parampath": tiny_model_dir + "/x4.param",
+        "modelpath": tiny_model_dir + "/x4.bin",
+    }))
+    assert scale == 4
+    assert nb.num_engines() == 2  # both slots alias the mesh engine
+    assert nb._engines[0] is nb._engines[1]
+    assert nb._engines[0].mesh is not None and nb._engines[0].mesh.size == 8
+    img = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    out = nb.process(1, img.tobytes(), 24, 20, 3)
+    from realsr_tpu.engine import EngineConfig, RealSR
+
+    ref = RealSR(gpuid=-1, config=EngineConfig(tilesize=16))
+    ref.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    assert out == ref.process(img).tobytes()
+    nb._engines = saved  # restore the fixture's engines
+
+
 def test_process_bands_over_budget_image(bridge, rng, monkeypatch):
     """The native surface must route over-budget images through band
     streaming exactly like the Python CLI (r2 review finding) — output
