@@ -151,6 +151,10 @@ def main() -> int:
                 "d2h_s": round(d2h_s, 2),
                 "psnr_db_vs_f32_golden": psnr_db,
                 "reps": reps,
+                # shared-host noise context: per-rep wall times behind the
+                # median (BASELINE.md: absolute throughput swings 30-60%
+                # between processes on this host)
+                "rep_times_s": [round(t, 3) for t in times],
             }
         )
     )
