@@ -38,7 +38,10 @@ def convert_weights_nhwc(
     out: Dict[str, Dict[str, np.ndarray]] = {}
     for name, rec in weights.items():
         new = dict(rec)
-        w = rec["weight"]
+        w = rec.get("weight")
+        if w is None:  # weight-less record (e.g. PReLU slopes)
+            out[name] = new
+            continue
         if w.ndim == 4:  # Convolution: [O, I, kh, kw] -> [kh, kw, I, O]
             new["weight"] = np.transpose(w, (2, 3, 1, 0)).copy()
         elif w.ndim == 5:  # ConvolutionDepthWise: [g, O/g, I/g, kh, kw]
@@ -203,6 +206,36 @@ def _padding(x: jnp.ndarray, layer: Layer, storage_dtype) -> jnp.ndarray:
     raise NotImplementedError(f"{layer.name}: padding type {ptype}")
 
 
+def _pooling(x: jnp.ndarray, layer: Layer, storage_dtype) -> jnp.ndarray:
+    ptype = layer.pi(0, 0)  # 0 = max, 1 = avg
+    if ptype not in (0, 1):
+        raise NotImplementedError(f"{layer.name}: pooling_type {ptype}")
+    xf = x.astype(jnp.float32)
+    if layer.pi(4, 0):  # global pooling -> [N, 1, 1, C] like ncnn's [C] blob
+        red = jnp.max if ptype == 0 else jnp.mean
+        return red(xf, axis=(1, 2), keepdims=True).astype(storage_dtype)
+    kw = layer.pi(1, 0)
+    kh = layer.pi(11, kw)
+    sw = layer.pi(2, 1)
+    sh = layer.pi(12, sw)
+    if any(layer.pi(k, 0) for k in (3, 13, 14, 15)) or layer.pi(5, 0):
+        # ncnn's padded / pad_mode pooling variants are not used by any SR
+        # graph this framework targets; extend when a model needs them
+        raise NotImplementedError(f"{layer.name}: padded pooling")
+    init, op = (
+        (-jnp.inf, jax.lax.max) if ptype == 0 else (0.0, jax.lax.add)
+    )
+    y = jax.lax.reduce_window(
+        xf, init, op,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding="VALID",
+    )
+    if ptype == 1:
+        y = y / (kh * kw)
+    return y.astype(storage_dtype)
+
+
 def _crop(x: jnp.ndarray, layer: Layer) -> jnp.ndarray:
     woff, hoff, coff = layer.pi(0), layer.pi(1), layer.pi(2)
     outw, outh, outc = layer.pi(3), layer.pi(4), layer.pi(5)
@@ -285,6 +318,15 @@ def build_forward(
                 xf = ins[0].astype(jnp.float32)
                 y = jnp.maximum(xf, 0) if slope == 0 else jnp.where(xf >= 0, xf, xf * slope)
                 outs = [y.astype(storage_dtype)]
+            elif t == "PReLU":
+                # per-channel learned slope (slope_data from .bin); a single
+                # slope broadcasts like ncnn's num_slope==1 mode
+                s = jnp.asarray(params[layer.name]["slope"], jnp.float32)
+                xf = ins[0].astype(jnp.float32)
+                s = s.reshape((1,) * (xf.ndim - 1) + (-1,)) if s.size > 1 else s
+                outs = [jnp.where(xf >= 0, xf, xf * s).astype(storage_dtype)]
+            elif t == "Pooling":
+                outs = [_pooling(ins[0], layer, storage_dtype)]
             elif t == "Clip":
                 outs = [
                     jnp.clip(

@@ -100,6 +100,11 @@ def load_weights(graph: ParamGraph, path: str) -> Dict[str, Dict[str, np.ndarray
                 rec["bias"] = _read_raw_f32(cur, num_output)
             out[layer.name] = rec
             continue
+        if layer.type == "PReLU":
+            # params: 0=num_slope; record = raw f32 slopes, no tag (ncnn
+            # loads PReLU slope_data with load(num_slope, 1))
+            out[layer.name] = {"slope": _read_raw_f32(cur, layer.pi(0, 1))}
+            continue
         if layer.type not in ("Convolution", "ConvolutionDepthWise"):
             continue
         num_output = layer.pi(0)
@@ -139,6 +144,12 @@ def write_weights(
             chunks.append(w.tobytes())
             if layer.pi(1):
                 chunks.append(np.asarray(rec["bias"], dtype="<f4").tobytes())
+            continue
+        if layer.type == "PReLU":
+            s = np.asarray(weights[layer.name]["slope"], dtype="<f4")
+            if int(s.size) != layer.pi(0, 1):
+                raise ValueError(f"{layer.name}: slope size mismatch")
+            chunks.append(s.tobytes())
             continue
         if layer.type not in ("Convolution", "ConvolutionDepthWise"):
             continue

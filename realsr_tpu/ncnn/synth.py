@@ -167,6 +167,13 @@ def synth_weights(
     rng = np.random.default_rng(seed)
     out: Dict[str, Dict[str, np.ndarray]] = {}
     for layer in graph.layers:
+        if layer.type == "PReLU":
+            out[layer.name] = {
+                "slope": rng.uniform(0.05, 0.3, size=(layer.pi(0, 1),)).astype(
+                    np.float32
+                )
+            }
+            continue
         if layer.type != "Convolution":
             continue
         cout = layer.pi(0)

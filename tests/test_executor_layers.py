@@ -91,6 +91,50 @@ def test_activation_layers(rng):
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_prelu_with_bin_roundtrip(tmp_path, rng):
+    """PReLU per-channel slopes through a real .bin record (raw f32, no
+    tag — ncnn loads slope_data with load(num_slope, 1))."""
+    text = _param([
+        "Input            in  0 1 data",
+        "PReLU            pr  1 1 data out 0=3",
+    ])
+    g = parse_param(text)
+    slope = np.asarray([0.1, 0.25, 0.4], np.float32)
+    path = str(tmp_path / "m.bin")
+    write_weights(g, {"pr": {"slope": slope}}, path)
+    loaded = load_weights(g, path)
+    np.testing.assert_array_equal(loaded["pr"]["slope"], slope)
+    fwd = build_forward(g)
+    x = (rng.random((2, 4, 5, 3), dtype=np.float32) - 0.5) * 2
+    y = np.asarray(jax.jit(fwd)(convert_weights_nhwc(loaded), x))
+    ref = np.where(x >= 0, x, x * slope.reshape(1, 1, 1, 3))
+    np.testing.assert_allclose(y, ref, rtol=1e-6)
+
+
+def test_pooling_max_avg_global(rng):
+    x = rng.random((1, 6, 8, 3), dtype=np.float32)
+
+    def run(line):
+        g = parse_param(_param(["Input in 0 1 data", line]))
+        return np.asarray(jax.jit(build_forward(g))({}, x))
+
+    y = run("Pooling p 1 1 data out 0=0 1=2 2=2")  # max 2x2 stride 2
+    ref = x.reshape(1, 3, 2, 4, 2, 3).max(axis=(2, 4))
+    np.testing.assert_allclose(y, ref, rtol=1e-6)
+
+    y = run("Pooling p 1 1 data out 0=1 1=2 2=2")  # avg 2x2 stride 2
+    ref = x.reshape(1, 3, 2, 4, 2, 3).mean(axis=(2, 4))
+    np.testing.assert_allclose(y, ref, rtol=1e-6)
+
+    y = run("Pooling p 1 1 data out 0=1 4=1")  # global avg
+    np.testing.assert_allclose(
+        y, x.mean(axis=(1, 2), keepdims=True), rtol=1e-6
+    )
+
+    with pytest.raises(NotImplementedError):
+        run("Pooling p 1 1 data out 0=0 1=2 2=2 3=1")  # padded: unsupported
+
+
 def test_cast_packing_passthrough(rng):
     """Cast/Packing are ncnn-internal dtype/SIMD-layout plumbing (compiled
     into the reference runtime, src/CMakeLists.txt:110-204); under XLA they
