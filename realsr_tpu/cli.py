@@ -201,10 +201,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     # Multi-host (DCN) mode: tiles never cross chips, so hosts never need to
     # talk — split the FILE LIST across processes, exactly as the reference
     # splits whole images across GPU queues (SURVEY.md §5). Shard identity
-    # comes from jax.distributed when initialized, else from env (for
-    # launchers that fan out one process per host themselves).
+    # comes from env (for launchers that fan out one process per host), or
+    # from an already-initialized jax.distributed runtime (process_index /
+    # process_count) when the env vars are absent.
     shard = _atoi(os.environ.get("REALSR_TPU_SHARD", "-1"))
     num_shards = _atoi(os.environ.get("REALSR_TPU_NUM_SHARDS", "0"))
+    if not num_shards:
+        try:
+            from jax._src import distributed as _jdist
+
+            if _jdist.global_state.client is not None:  # initialized
+                import jax
+
+                shard, num_shards = jax.process_index(), jax.process_count()
+        except Exception:
+            pass
     if num_shards > 1:
         if not (0 <= shard < num_shards):
             print("invalid REALSR_TPU_SHARD / REALSR_TPU_NUM_SHARDS", file=sys.stderr)

@@ -249,6 +249,41 @@ def test_alpha_jpg_redirect(cli_model_dir, img_dir, tmp_path):
     assert os.path.exists(str(out) + ".png")  # main.cpp:279-288 semantics
 
 
+def test_shard_identity_from_jax_distributed(tmp_path, monkeypatch):
+    """Without REALSR_TPU_SHARD env, an initialized jax.distributed runtime
+    supplies process_index/process_count as the shard identity."""
+    import numpy as np
+
+    from realsr_tpu.io.codecs import encode_image
+    from realsr_tpu.ncnn.synth import make_model_dir
+    from tests.conftest import TINY_SPEC
+
+    ind, outd = tmp_path / "in", tmp_path / "out"
+    ind.mkdir(), outd.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        encode_image(str(ind / f"{i}.png"),
+                     rng.integers(0, 256, (6, 5, 3), dtype=np.uint8))
+    mdir = tmp_path / "m-models-DF2K"
+    make_model_dir(str(mdir), TINY_SPEC, seed=0)
+
+    import jax
+    from jax._src import distributed as jdist
+
+    from realsr_tpu import cli
+
+    jax.devices()  # init the backend BEFORE faking the distributed client
+    monkeypatch.delenv("REALSR_TPU_NUM_SHARDS", raising=False)
+    monkeypatch.setattr(jdist.global_state, "client", object())
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    rc = cli.main(["-i", str(ind), "-o", str(outd), "-g", "-1",
+                   "-m", str(mdir), "-t", "32"])
+    assert rc == 0
+    # process 1 of 2 handles the odd-indexed files only
+    assert sorted(os.listdir(outd)) == ["1.png", "3.png"]
+
+
 def test_usage_exit_code(cli_model_dir):
     r = run_cli(["-h"])
     assert r.returncode == 255
