@@ -139,6 +139,31 @@ def test_binary_image_batching_matches_singles(tmp_path, rng, dl2k_model_dir):
         assert d.max() <= 1 and (d > 0).mean() < 0.01
 
 
+def test_binary_mesh_mode_matches_single(tmp_path, rng, dl2k_model_dir):
+    """REALSR_TPU_MESH=all through the C++ binary (bridge mesh engine on
+    the virtual 8-device mesh): outputs match the single-device run up to
+    the standard uint8 quantization tolerance — the GSPMD-partitioned
+    program fuses/reduces in a different order than the single-device one
+    under the embedded interpreter's thread pool (±1ulp across the
+    floor(v+0.5) threshold; same class the batching test allows)."""
+    from PIL import Image
+
+    img = rng.integers(0, 256, (20, 18, 3), dtype=np.uint8)
+    inp = tmp_path / "in.png"
+    Image.fromarray(img).save(inp)
+    out1, out2 = tmp_path / "single.png", tmp_path / "mesh.png"
+    r = run_binary(["-i", str(inp), "-o", str(out1), "-m", dl2k_model_dir,
+                    "-g", "-1"])
+    assert r.returncode == 0, r.stderr
+    r = run_binary(["-i", str(inp), "-o", str(out2), "-m", dl2k_model_dir],
+                   extra_env={"REALSR_TPU_MESH": "all"})
+    assert r.returncode == 0, r.stderr
+    a = np.asarray(Image.open(out1)).astype(int)
+    b = np.asarray(Image.open(out2)).astype(int)
+    d = np.abs(a - b)
+    assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
+
+
 def test_binary_usage_error():
     r = run_binary([])
     assert r.returncode != 0
