@@ -211,9 +211,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             from jax._src import distributed as _jdist
 
             if _jdist.global_state.client is not None:  # initialized
-                import jax
-
-                shard, num_shards = jax.process_index(), jax.process_count()
+                # read the distributed state directly — jax.process_index()
+                # would initialize the backend HERE, before the '-g -1'
+                # platform pinning below can take effect
+                shard = _jdist.global_state.process_id or 0
+                num_shards = _jdist.global_state.num_processes or 0
         except Exception:
             pass
     if num_shards > 1:
@@ -301,18 +303,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     mesh_env = os.environ.get("REALSR_TPU_MESH", "")
     mesh = None
     if mesh_env:
-        from realsr_tpu.parallel.mesh import make_mesh
+        from realsr_tpu.parallel.mesh import mesh_from_env
 
-        pool = [d for d in jax.devices() if d.platform != "cpu"] or jax.devices()
-        if mesh_env == "all":
-            devs = pool
-        else:
-            idxs = parse_int_array(mesh_env)
-            if not idxs or any(i < 0 or i >= len(pool) for i in idxs):
-                print("invalid REALSR_TPU_MESH", file=sys.stderr)
-                return -1
-            devs = [pool[i] for i in idxs]
-        mesh = make_mesh(devs)
+        try:
+            mesh = mesh_from_env(mesh_env)
+        except ValueError as ex:
+            print(str(ex), file=sys.stderr)
+            return -1
         gpuid = gpuid[:1]  # one mesh engine replaces the per-device pool
 
     engines = []
@@ -343,20 +340,25 @@ def main(argv: Optional[List[str]] = None) -> int:
     # compiles run concurrently (engine.precompile), so a multi-bucket shape
     # warms in ~one compile's wall time where lazy first-image compilation
     # pays each bucket serially.
+    image_batch = max(1, _atoi(os.environ.get("REALSR_TPU_IMAGE_BATCH", "1")))
     if os.environ.get("REALSR_TPU_PRECOMPILE", "0") not in ("0", "") and input_files:
         try:
-            from PIL import Image
+            # decode with the SAME codec path the pipeline uses, so the
+            # channel count (gray promotion, palette transparency, tRNS
+            # handling) cannot diverge from what proc_worker will see
+            from realsr_tpu.io.codecs import decode_image
 
-            with Image.open(input_files[0]) as im:
-                w0, h0 = im.size
-                ch = (
-                    4
-                    if im.mode in ("RGBA", "LA", "PA")
-                    or "transparency" in im.info
-                    else 3
-                )
+            img0 = decode_image(input_files[0])
+            if img0 is None:
+                raise ValueError(f"cannot decode {input_files[0]}")
+            h0, w0, ch = img0.shape
             for e in engines:
                 n = e.precompile(w0, h0, channels=ch)
+                # batched-stack programs are distinct executables; warm the
+                # drain size proc_worker will actually dispatch
+                nb = min(image_batch, e.max_batch_images((h0, w0, ch)))
+                if nb > 1:
+                    n += e.precompile(w0, h0, channels=ch, n_img=nb)
                 if verbose:
                     print(
                         f"precompiled {n} programs for {w0}x{h0}",
@@ -375,6 +377,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         verbose=verbose,
         # opportunistic cross-image tile batching (additive feature beyond
         # the reference's one-image-per-proc-thread model)
-        image_batch=max(1, _atoi(os.environ.get("REALSR_TPU_IMAGE_BATCH", "1"))),
+        image_batch=image_batch,
     )
     return 0

@@ -218,10 +218,23 @@ def _pooling(x: jnp.ndarray, layer: Layer, storage_dtype) -> jnp.ndarray:
     kh = layer.pi(11, kw)
     sw = layer.pi(2, 1)
     sh = layer.pi(12, sw)
-    if any(layer.pi(k, 0) for k in (3, 13, 14, 15)) or layer.pi(5, 0):
-        # ncnn's padded / pad_mode pooling variants are not used by any SR
-        # graph this framework targets; extend when a model needs them
+    if any(layer.pi(k, 0) for k in (3, 13, 14, 15)):
+        # explicitly padded pooling is not used by any SR graph this
+        # framework targets; extend when a model needs it
         raise NotImplementedError(f"{layer.name}: padded pooling")
+    pad_mode = layer.pi(5, 0)
+    if pad_mode == 0:
+        # ncnn default 'full' mode CEILS the output extent (tail-pads a
+        # partial window); this implementation floors (VALID) — identical
+        # only when windows tile the input exactly, which we can check at
+        # trace time since shapes are static
+        if (x.shape[1] - kh) % sh or (x.shape[2] - kw) % sw:
+            raise NotImplementedError(
+                f"{layer.name}: full-pad (ceil) pooling with a partial "
+                f"tail window"
+            )
+    elif pad_mode != 1:  # 1 = valid (floor) — exactly what VALID computes
+        raise NotImplementedError(f"{layer.name}: pad_mode {pad_mode}")
     init, op = (
         (-jnp.inf, jax.lax.max) if ptype == 0 else (0.0, jax.lax.add)
     )

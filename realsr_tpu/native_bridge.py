@@ -60,13 +60,11 @@ def init(config_json: str) -> int:
     # aliases it so engine_idx stays valid (dispatch is thread-safe).
     mesh_env = os.environ.get("REALSR_TPU_MESH", "")
     if mesh_env:
-        from realsr_tpu.parallel.mesh import make_mesh
+        # mesh_from_env raises ValueError('invalid REALSR_TPU_MESH ...')
+        # on bad input; the C++ CLI surfaces it via PyErr_Print + its
+        # 'engine init failed' diagnostic
+        from realsr_tpu.parallel.mesh import mesh_from_env
 
-        pool = [d for d in jax.devices() if d.platform != "cpu"] or jax.devices()
-        if mesh_env == "all":
-            devs = pool
-        else:
-            devs = [pool[int(s)] for s in mesh_env.split(",")]
         e = RealSR(
             tta_mode=cfg["tta_mode"],
             num_threads=cfg["jobs_proc"][0],
@@ -75,7 +73,7 @@ def init(config_json: str) -> int:
                 prepadding=cfg["prepadding"],
                 storage=storage,
             ),
-            mesh=make_mesh(devs),
+            mesh=mesh_from_env(mesh_env),
         )
         e.load(cfg["parampath"], cfg["modelpath"])
         _engines = [e] * len(gpuid)

@@ -101,9 +101,16 @@ def load_weights(graph: ParamGraph, path: str) -> Dict[str, Dict[str, np.ndarray
             out[layer.name] = rec
             continue
         if layer.type == "PReLU":
-            # params: 0=num_slope; record = raw f32 slopes, no tag (ncnn
-            # loads PReLU slope_data with load(num_slope, 1))
-            out[layer.name] = {"slope": _read_raw_f32(cur, layer.pi(0, 1))}
+            # params: 0=num_slope, ncnn load_param DEFAULT 0 (reads no
+            # data); record = raw f32 slopes, no tag (ncnn loads
+            # slope_data with load(num_slope, 1))
+            n = layer.pi(0, 0)
+            if n < 1:
+                raise ValueError(
+                    f"{layer.name}: PReLU num_slope={n}; a loadable graph "
+                    "must declare 0=<num_slope> >= 1"
+                )
+            out[layer.name] = {"slope": _read_raw_f32(cur, n)}
             continue
         if layer.type not in ("Convolution", "ConvolutionDepthWise"):
             continue
@@ -147,7 +154,7 @@ def write_weights(
             continue
         if layer.type == "PReLU":
             s = np.asarray(weights[layer.name]["slope"], dtype="<f4")
-            if int(s.size) != layer.pi(0, 1):
+            if int(s.size) != layer.pi(0, 0) or not s.size:
                 raise ValueError(f"{layer.name}: slope size mismatch")
             chunks.append(s.tobytes())
             continue

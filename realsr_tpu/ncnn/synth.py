@@ -168,11 +168,13 @@ def synth_weights(
     out: Dict[str, Dict[str, np.ndarray]] = {}
     for layer in graph.layers:
         if layer.type == "PReLU":
-            out[layer.name] = {
-                "slope": rng.uniform(0.05, 0.3, size=(layer.pi(0, 1),)).astype(
-                    np.float32
-                )
-            }
+            n = layer.pi(0, 0)  # ncnn default 0 = no slope data (unloadable)
+            if n >= 1:
+                out[layer.name] = {
+                    "slope": rng.uniform(0.05, 0.3, size=(n,)).astype(
+                        np.float32
+                    )
+                }
             continue
         if layer.type != "Convolution":
             continue

@@ -261,7 +261,10 @@ def rdb_apply(
         scratch_shapes=[
             pltpu.VMEM((nf, padf + 2 * _G), x_flat.dtype),
             pltpu.VMEM((9 * nf, ch), x_flat.dtype),
-            pltpu.VMEM((9 * nf, ch), x_flat.dtype),
+            # second cols buffer only when double-buffering; a minimal
+            # tile keeps the kernel signature stable for db=False A/Bs
+            # without carrying the ~2MB footprint being measured against
+            pltpu.VMEM((9 * nf, ch) if db else (8, 128), x_flat.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(

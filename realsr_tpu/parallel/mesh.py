@@ -28,11 +28,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 TILE_AXIS = "tiles"
 
 
+def default_pool() -> list:
+    """The accelerator pool device ids index into: all non-CPU devices, or
+    every device on a CPU-only host (virtual meshes included) — ONE rule,
+    shared by the engine, both CLIs, and make_mesh."""
+    return [d for d in jax.devices() if d.platform != "cpu"] or jax.devices()
+
+
 def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
     """1-D mesh over the given devices (default: all accelerators)."""
     if devices is None:
-        devices = [d for d in jax.devices() if d.platform != "cpu"] or jax.devices()
+        devices = default_pool()
     return Mesh(np.asarray(devices), (TILE_AXIS,))
+
+
+def mesh_from_env(spec: str) -> Mesh:
+    """Build a mesh from a REALSR_TPU_MESH value: ``all`` or a comma list
+    of pool indices. Raises ValueError with a clean message on bad input
+    (both CLIs surface it as the 'invalid REALSR_TPU_MESH' diagnostic)."""
+    pool = default_pool()
+    if spec == "all":
+        return make_mesh(pool)
+    try:
+        idxs = [int(s) for s in spec.split(",") if s.strip() != ""]
+    except ValueError:
+        raise ValueError(f"invalid REALSR_TPU_MESH {spec!r}") from None
+    if not idxs or any(i < 0 or i >= len(pool) for i in idxs):
+        raise ValueError(
+            f"invalid REALSR_TPU_MESH {spec!r} (pool has {len(pool)} devices)"
+        )
+    return make_mesh([pool[i] for i in idxs])
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

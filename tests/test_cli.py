@@ -275,8 +275,10 @@ def test_shard_identity_from_jax_distributed(tmp_path, monkeypatch):
     jax.devices()  # init the backend BEFORE faking the distributed client
     monkeypatch.delenv("REALSR_TPU_NUM_SHARDS", raising=False)
     monkeypatch.setattr(jdist.global_state, "client", object())
-    monkeypatch.setattr(jax, "process_index", lambda: 1)
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    # the CLI must read the state directly (NOT jax.process_index(),
+    # which would initialize the backend before platform pinning)
+    monkeypatch.setattr(jdist.global_state, "process_id", 1)
+    monkeypatch.setattr(jdist.global_state, "num_processes", 2)
     rc = cli.main(["-i", str(ind), "-o", str(outd), "-g", "-1",
                    "-m", str(mdir), "-t", "32"])
     assert rc == 0

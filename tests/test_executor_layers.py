@@ -111,6 +111,19 @@ def test_prelu_with_bin_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(y, ref, rtol=1e-6)
 
 
+def test_prelu_without_num_slope_rejected(tmp_path):
+    """ncnn's load_param default num_slope is 0 (no data); silently reading
+    4 bytes would shift every later record — must be a clean error."""
+    text = _param([
+        "Input            in  0 1 data",
+        "PReLU            pr  1 1 data out",
+    ])
+    g = parse_param(text)
+    (tmp_path / "m.bin").write_bytes(b"\x00" * 16)
+    with pytest.raises(ValueError, match="num_slope"):
+        load_weights(g, str(tmp_path / "m.bin"))
+
+
 def test_pooling_max_avg_global(rng):
     x = rng.random((1, 6, 8, 3), dtype=np.float32)
 
@@ -131,8 +144,18 @@ def test_pooling_max_avg_global(rng):
         y, x.mean(axis=(1, 2), keepdims=True), rtol=1e-6
     )
 
+    # pad_mode 1 (valid/floor) truncates the partial tail window: 8 wide,
+    # k=3 s=2 -> 3 windows
+    y = run("Pooling p 1 1 data out 0=0 1=3 2=2 5=1")
+    assert y.shape == (1, 2, 3, 3)
+
     with pytest.raises(NotImplementedError):
         run("Pooling p 1 1 data out 0=0 1=2 2=2 3=1")  # padded: unsupported
+    with pytest.raises(NotImplementedError):
+        # ncnn default pad_mode 0 CEILS (tail-pads a partial window):
+        # 8 wide, k=3 s=2 leaves a partial tail -> must refuse, not
+        # silently floor
+        run("Pooling p 1 1 data out 0=0 1=3 2=2")
 
 
 def test_cast_packing_passthrough(rng):
