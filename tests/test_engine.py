@@ -250,6 +250,16 @@ def test_precompile_then_process(engine, rng):
         engine.precompile(8, 8, channels=2)
 
 
+def test_degenerate_image_shapes(engine, rng):
+    """1-pixel-thin and single-pixel images survive the full tiling/halo
+    machinery (reflect-101 on a size-1 axis degenerates to index 0)."""
+    for shape in ((1, 1, 3), (1, 7, 3), (5, 1, 4), (2, 2, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = engine.process(img)
+        assert out.shape == (shape[0] * 4, shape[1] * 4, shape[2])
+        assert out.dtype == np.uint8
+
+
 def test_rejects_bad_input(engine):
     with pytest.raises(ValueError):
         engine.process(np.zeros((4, 4), dtype=np.uint8))
