@@ -164,6 +164,30 @@ def test_binary_mesh_mode_matches_single(tmp_path, rng, dl2k_model_dir):
     assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
 
 
+def test_binary_tta_flag(tmp_path, rng, dl2k_model_dir):
+    """-x through the C++ binary: tta_mode reaches the engine via the
+    bridge config; output matches the library's TTA engine (up to the
+    standard u8 quantization tolerance)."""
+    from PIL import Image
+
+    from realsr_tpu.engine import EngineConfig, RealSR
+
+    img = rng.integers(0, 256, (10, 9, 3), dtype=np.uint8)
+    inp = tmp_path / "in.png"
+    Image.fromarray(img).save(inp)
+    out = tmp_path / "tta.png"
+    r = run_binary(["-i", str(inp), "-o", str(out), "-m", dl2k_model_dir,
+                    "-g", "-1", "-x"])
+    assert r.returncode == 0, r.stderr
+    eng = RealSR(gpuid=-1, tta_mode=True, config=EngineConfig())
+    eng.load(dl2k_model_dir + "/x4.param", dl2k_model_dir + "/x4.bin")
+    ref = eng.process(img)
+    got = np.asarray(Image.open(out))
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert got.shape == (40, 36, 3)
+    assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
+
+
 def test_binary_usage_error():
     r = run_binary([])
     assert r.returncode != 0
