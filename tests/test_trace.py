@@ -65,6 +65,27 @@ def test_cli_trace_env_prints_stage_report(cli_model_dir_trace, tmp_path):
     assert "stage timing" not in r2.stderr
 
 
+def test_cli_profile_env_writes_trace(cli_model_dir_trace, tmp_path):
+    """REALSR_TPU_PROFILE=<dir> wraps the run in a jax.profiler trace and
+    leaves artifacts in the directory (viewable in xprof/TensorBoard)."""
+    import os
+
+    prof = tmp_path / "prof"
+    out = tmp_path / "o.png"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["REALSR_TPU_PROFILE"] = str(prof)
+    r = subprocess.run(
+        [sys.executable, "-m", "realsr_tpu", "-i", cli_model_dir_trace[1],
+         "-o", str(out), "-m", cli_model_dir_trace[0], "-g", "-1"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    files = [f for _, _, fs in __import__("os").walk(prof) for f in fs]
+    assert files, "profiler directory is empty"
+
+
 import numpy as np
 import pytest
 from PIL import Image
