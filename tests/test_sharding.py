@@ -43,6 +43,19 @@ def test_mesh_ragged_and_alpha(pair, rng):
     assert_u8_close(a, b)
 
 
+def test_mesh_float16_parity_mode(tiny_model_dir, rng):
+    """The reference-parity f16 storage mode also works under a mesh (the
+    GSPMD-partitioned XLA conv path; Mosaic is bypassed for f16)."""
+    cfg = EngineConfig(tilesize=16, storage="float16")
+    single = RealSR(gpuid=-1, config=cfg, device=jax.devices()[0])
+    single.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    sharded = RealSR(config=cfg, mesh=make_mesh(jax.devices()))
+    sharded.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    assert sharded.storage_dtype == np.float16 and sharded.variant == "dense"
+    img = rng.integers(0, 256, (40, 24, 3), dtype=np.uint8)
+    assert_u8_close(single.process(img), sharded.process(img))
+
+
 def test_mesh_tile_batch_is_sharded(tiny_model_dir, rng):
     """The in-flight tile batch axis must ACTUALLY shard over the mesh —
     fail if it silently replicates (pixel-equality tests would still pass).
