@@ -276,31 +276,31 @@ class RealSR:
             ]
             return _round_u8(out)
 
-        def run_chunk(
-            padded, alpha, out_buf, imgs, xs, ys, ph, pw, hn, wn, tta, with_alpha
-        ):
-            """ONE dispatch per [B] tile-origin chunk: extract a batch of
-            tiles, run the net, round to uint8 and scatter into the donated
-            output buffer. Replaces the reference's per-tile dispatch +
-            submit_and_wait loop (src/realsr.cpp:235-482) — dispatches are
-            async, so the host chunk loop just enqueues device work; the
-            single D2H per image is the only sync.
+        # Each [B] tile-origin chunk runs as THREE dispatches. The split is
+        # deliberate: extract/scatter take full-image-shaped buffers (their
+        # executables are per image size, but compile in seconds), while
+        # compute_chunk — the forward, i.e. the ~2-minute Mosaic compile —
+        # sees ONLY (bucket shape, batch) tile stacks, so every image size
+        # in a mixed directory reuses the same expensive executable. A
+        # fused single program was measured to recompile the kernel for
+        # each new image size (BASELINE.md cold-start notes). The extra
+        # HBM round trip for the tile stacks is ~50 MB per chunk — noise
+        # next to the chunk's compute. Dispatches are async; the single
+        # D2H per image is the only sync (vs the reference's per-tile
+        # submit_and_wait, src/realsr.cpp:235-482). The chunk loop lives
+        # in the HOST, not a lax.scan, so shapes are also independent of
+        # the tile COUNT, and per-chunk completion drives the reference's
+        # per-tile progress contract (realsr.cpp:481).
+        #
+        # All buffers carry a leading IMAGE axis (padded [N,Hp,Wp,3],
+        # out_buf [N,H*s,W*s,C]) and ``imgs`` selects each tile's image —
+        # tiles of many same-sized images batch into the same chunks
+        # (process_batch). xs/ys are the tiles' UNPADDED input origins; in
+        # padded-image coords the halo start is exactly (ys, xs).
 
-            The chunk loop lives in the HOST (engine), not in a lax.scan:
-            compiled shapes are then independent of the tile COUNT, so a
-            directory of mixed-size images reuses one executable per
-            (bucket shape, batch) instead of recompiling per chunk count —
-            and per-chunk completion is observable for the reference's
-            per-tile progress contract (realsr.cpp:481).
-
-            All buffers carry a leading IMAGE axis (padded [N,Hp,Wp,3],
-            out_buf [N,H*s,W*s,C]) and ``imgs`` selects each tile's image —
-            tiles from many same-sized images batch into the same chunks
-            (process_batch), which fills the conv batch granule even when
-            each image is a single tile. xs/ys are the tiles' UNPADDED
-            input origins; in padded-image coords the halo start is exactly
-            (ys, xs) (planner docstring).
-            """
+        def extract_chunk(padded, alpha, imgs, xs, ys, ph, pw, hn, wn, with_alpha):
+            """Cheap, image-size-dependent: gather the chunk's tile batch
+            (and unpadded alpha tiles) out of the padded image stack."""
 
             def extract(i, x0, y0):
                 t = jax.lax.dynamic_slice(padded, (i, y0, x0, 0), (1, ph, pw, 3))
@@ -311,6 +311,16 @@ class RealSR:
                 return t[0]
 
             tiles = jax.vmap(extract)(imgs, xs, ys)
+            if with_alpha:
+                atiles = jax.vmap(extract_alpha)(imgs, xs, ys)
+            else:
+                atiles = jnp.zeros((tiles.shape[0], 0, 0, 0), jnp.float32)
+            return tiles, atiles
+
+        def compute_chunk(tiles, atiles, ph, pw, hn, wn, tta, with_alpha):
+            """EXPENSIVE, image-size-INDEPENDENT: forward (+TTA), halo
+            crop, reference rounding, alpha bicubic — shapes depend only
+            on (bucket shape, batch)."""
             probe = self.sharding_probe
             if probe is not None:
                 jax.debug.inspect_array_sharding(
@@ -318,18 +328,20 @@ class RealSR:
                     callback=lambda s, _sh=tiles.shape: probe((_sh, s)),
                 )
             color = tile_color(tiles, ph, pw, hn, wn, tta)
-            if with_alpha:
-                atiles = jax.vmap(extract_alpha)(imgs, xs, ys)
-                if scale == 1:
-                    up = atiles
-                elif scale == 4:
-                    up = bicubic_x4(atiles)
-                else:
-                    up = resize_nhwc(atiles, hn * scale, wn * scale, "bicubic")
-                a_u8 = jnp.clip(jnp.floor(up + 0.5), 0.0, 255.0).astype(jnp.uint8)
-                tiles_u8 = jnp.concatenate([color, a_u8], axis=-1)
+            if not with_alpha:
+                return color
+            if scale == 1:
+                up = atiles
+            elif scale == 4:
+                up = bicubic_x4(atiles)
             else:
-                tiles_u8 = color
+                up = resize_nhwc(atiles, hn * scale, wn * scale, "bicubic")
+            a_u8 = jnp.clip(jnp.floor(up + 0.5), 0.0, 255.0).astype(jnp.uint8)
+            return jnp.concatenate([color, a_u8], axis=-1)
+
+        def scatter_chunk(out_buf, tiles_u8, imgs, xs, ys):
+            """Cheap, image-size-dependent: merge the chunk's uint8 tiles
+            into the donated full-resolution buffer at their origins."""
 
             def scat(b, t):
                 tile, i, x0, y0 = t
@@ -340,17 +352,21 @@ class RealSR:
             out_buf, _ = jax.lax.scan(scat, out_buf, (tiles_u8, imgs, xs, ys))
             return out_buf
 
-        static = (6, 7, 8, 9, 10, 11)
         if self.mesh is None:
             self._prep = jax.jit(prep, static_argnums=(1,))
             self._prep_band = jax.jit(prep_band, static_argnums=(1,))
-            self._run_chunk = jax.jit(
-                run_chunk, static_argnums=static, donate_argnums=(2,)
+            self._extract_chunk = jax.jit(
+                extract_chunk, static_argnums=(5, 6, 7, 8, 9)
             )
+            self._compute_chunk = jax.jit(
+                compute_chunk, static_argnums=(2, 3, 4, 5, 6, 7)
+            )
+            self._scatter_chunk = jax.jit(scatter_chunk, donate_argnums=(0,))
         else:
             # Mesh mode: params/image/output replicated, tile batch axis
-            # (axis 0 of imgs/xs/ys) sharded. The only collective is XLA's
-            # gather of per-device tiles into the replicated buffer — ICI.
+            # (axis 0 of tiles/imgs/xs/ys) sharded. The only collective is
+            # XLA's gather of per-device tiles into the replicated buffer
+            # (inside scatter_chunk) — ICI.
             rep = replicated(self.mesh)
             shd_b = NamedSharding(self.mesh, P(TILE_AXIS))
             self._prep = jax.jit(
@@ -365,11 +381,22 @@ class RealSR:
                 in_shardings=(rep,),
                 out_shardings=(rep, rep),
             )
-            self._run_chunk = jax.jit(
-                run_chunk,
-                static_argnums=static,
-                donate_argnums=(2,),
-                in_shardings=(rep, rep, rep, shd_b, shd_b, shd_b),
+            self._extract_chunk = jax.jit(
+                extract_chunk,
+                static_argnums=(5, 6, 7, 8, 9),
+                in_shardings=(rep, rep, shd_b, shd_b, shd_b),
+                out_shardings=(shd_b, shd_b),
+            )
+            self._compute_chunk = jax.jit(
+                compute_chunk,
+                static_argnums=(2, 3, 4, 5, 6, 7),
+                in_shardings=(shd_b, shd_b),
+                out_shardings=shd_b,
+            )
+            self._scatter_chunk = jax.jit(
+                scatter_chunk,
+                donate_argnums=(0,),
+                in_shardings=(rep, shd_b, shd_b, shd_b, shd_b),
                 out_shardings=rep,
             )
 
@@ -449,13 +476,35 @@ class RealSR:
             if key in seen:
                 continue
             seen.add(key)
-            ivec = S((bsz,), jnp.int32)
-            lows.append(self._run_chunk.lower(
-                padded, alpha, out_buf, ivec, ivec, ivec,
-                ph, pw, ph - 2 * pad, pw - 2 * pad, self.tta_mode,
-                channels == 4,
+            lows.extend(self._lower_chunk_programs(
+                padded, alpha, out_buf, bsz, ph, pw, channels
             ))
         return self._compile_all(lows)
+
+    def _lower_chunk_programs(
+        self, padded, alpha, out_buf, bsz, ph, pw, channels
+    ) -> list:
+        """Lower the extract/compute/scatter triple for one (bucket shape,
+        batch) against the given full-image ShapeDtypeStructs."""
+        S = jax.ShapeDtypeStruct
+        s, pad = self.scale, self.prepadding
+        hn, wn = ph - 2 * pad, pw - 2 * pad
+        with_alpha = channels == 4
+        ivec = S((bsz,), jnp.int32)
+        tiles = S((bsz, ph, pw, 3), self.storage_dtype)
+        atiles = S(
+            (bsz, hn, wn, 1) if with_alpha else (bsz, 0, 0, 0), jnp.float32
+        )
+        tiles_u8 = S((bsz, hn * s, wn * s, channels), jnp.uint8)
+        return [
+            self._extract_chunk.lower(
+                padded, alpha, ivec, ivec, ivec, ph, pw, hn, wn, with_alpha
+            ),
+            self._compute_chunk.lower(
+                tiles, atiles, ph, pw, hn, wn, self.tta_mode, with_alpha
+            ),
+            self._scatter_chunk.lower(out_buf, tiles_u8, ivec, ivec, ivec),
+        ]
 
     @staticmethod
     def _compile_all(lowereds) -> int:
@@ -511,11 +560,8 @@ class RealSR:
                 if key in seen:
                     continue
                 seen.add(key)
-                ivec = S((bsz,), jnp.int32)
-                lows.append(self._run_chunk.lower(
-                    padded, alpha, out_buf, ivec, ivec, ivec,
-                    ph, pw, ph - 2 * pad, pw - 2 * pad, self.tta_mode,
-                    channels == 4,
+                lows.extend(self._lower_chunk_programs(
+                    padded, alpha, out_buf, bsz, ph, pw, channels
                 ))
         return self._compile_all(lows)
 
@@ -582,9 +628,15 @@ class RealSR:
             ys = np.asarray([t[2] for t in triples], np.int32).reshape(nc, bsz)
             for k in range(nc):
                 with tracer.span("dispatch"):
-                    out_buf = self._run_chunk(
-                        padded, alpha, out_buf, imgs[k], xs[k], ys[k],
-                        ph, pw, hn, wn, self.tta_mode, c == 4,
+                    tiles, atiles = self._extract_chunk(
+                        padded, alpha, imgs[k], xs[k], ys[k],
+                        ph, pw, hn, wn, c == 4,
+                    )
+                    tiles_u8 = self._compute_chunk(
+                        tiles, atiles, ph, pw, hn, wn, self.tta_mode, c == 4
+                    )
+                    out_buf = self._scatter_chunk(
+                        out_buf, tiles_u8, imgs[k], xs[k], ys[k]
                     )
                 done += min(bsz, n - k * bsz)  # exclude pad-duplicate tiles
                 if progress_cb is not None:

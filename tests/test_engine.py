@@ -250,6 +250,22 @@ def test_precompile_then_process(engine, rng):
         engine.precompile(8, 8, channels=2)
 
 
+def test_compute_program_reused_across_image_sizes(tiny_model_dir, rng):
+    """The expensive per-chunk program (the forward) must be keyed by
+    (bucket shape, batch) ONLY — two different image sizes with the same
+    tile grid class share one compute executable (r2 finding: a fused
+    chunk program recompiled the ~2-min Mosaic kernel per image size)."""
+    e = RealSR(gpuid=-1, config=EngineConfig(tilesize=16, storage="float32"))
+    e.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    for side in (48, 64):  # different sizes; same bucket (36,36), batch 8
+        e.process(rng.integers(0, 256, (side, side, 3), dtype=np.uint8))
+    # the interior bucket's compute program is shared; extract/scatter are
+    # per-image-size
+    assert e._compute_chunk._cache_size() == 1, e._compute_chunk._cache_size()
+    assert e._extract_chunk._cache_size() == 2
+    assert e._scatter_chunk._cache_size() == 2
+
+
 def test_degenerate_image_shapes(engine, rng):
     """1-pixel-thin and single-pixel images survive the full tiling/halo
     machinery (reflect-101 on a size-1 axis degenerates to index 0)."""
