@@ -482,29 +482,37 @@ class RealSR:
         return self._compile_all(lows)
 
     def _lower_chunk_programs(
-        self, padded, alpha, out_buf, bsz, ph, pw, channels
+        self, padded, alpha, out_buf, bsz, ph, pw, channels,
+        lower_compute: bool = True,
     ) -> list:
         """Lower the extract/compute/scatter triple for one (bucket shape,
-        batch) against the given full-image ShapeDtypeStructs."""
+        batch) against the given full-image ShapeDtypeStructs.
+
+        ``lower_compute=False`` skips the (expensive, image-size- AND
+        band-height-independent) compute program — callers that iterate
+        several image/band shapes over the same bucket pass it once."""
         S = jax.ShapeDtypeStruct
         s, pad = self.scale, self.prepadding
         hn, wn = ph - 2 * pad, pw - 2 * pad
         with_alpha = channels == 4
         ivec = S((bsz,), jnp.int32)
-        tiles = S((bsz, ph, pw, 3), self.storage_dtype)
-        atiles = S(
-            (bsz, hn, wn, 1) if with_alpha else (bsz, 0, 0, 0), jnp.float32
-        )
         tiles_u8 = S((bsz, hn * s, wn * s, channels), jnp.uint8)
-        return [
+        lows = [
             self._extract_chunk.lower(
                 padded, alpha, ivec, ivec, ivec, ph, pw, hn, wn, with_alpha
             ),
-            self._compute_chunk.lower(
-                tiles, atiles, ph, pw, hn, wn, self.tta_mode, with_alpha
-            ),
             self._scatter_chunk.lower(out_buf, tiles_u8, ivec, ivec, ivec),
         ]
+        if lower_compute:
+            tiles = S((bsz, ph, pw, 3), self.storage_dtype)
+            atiles = S(
+                (bsz, hn, wn, 1) if with_alpha else (bsz, 0, 0, 0),
+                jnp.float32,
+            )
+            lows.append(self._compute_chunk.lower(
+                tiles, atiles, ph, pw, hn, wn, self.tta_mode, with_alpha
+            ))
+        return lows
 
     @staticmethod
     def _compile_all(lowereds) -> int:
@@ -560,9 +568,14 @@ class RealSR:
                 if key in seen:
                     continue
                 seen.add(key)
+                # the compute program is band-height-independent: lower it
+                # once per (bucket, batch), not once per band height
+                ckey = ("compute", ph, pw, bsz)
                 lows.extend(self._lower_chunk_programs(
-                    padded, alpha, out_buf, bsz, ph, pw, channels
+                    padded, alpha, out_buf, bsz, ph, pw, channels,
+                    lower_compute=ckey not in seen,
                 ))
+                seen.add(ckey)
         return self._compile_all(lows)
 
     def _process_stack_device(

@@ -28,7 +28,7 @@ def test_list_directory_sorted_files_only(tmp_path):
     assert list_directory(str(tmp_path)) == ["a.png", "b.png"]
 
 
-def test_sanitize_filepath(tmp_path):
+def test_sanitize_filepath(tmp_path, monkeypatch):
     p = tmp_path / "exists.txt"
     p.write_text("x")
     assert sanitize_filepath(str(p)) == str(p)
@@ -36,6 +36,12 @@ def test_sanitize_filepath(tmp_path):
     # absolute second argument discards the root — matches the C++ CLI's
     # absolute-path passthrough)
     assert sanitize_filepath("/definitely/missing") == "/definitely/missing"
-    # relative missing path falls back under the install root
-    out = sanitize_filepath("definitely-missing-rel")
-    assert out == "definitely-missing-rel" or os.path.isabs(out)
+    # relative path that exists only under the install root resolves there
+    # (filesystem_utils.h:167-173 exe-relative fallback)
+    from realsr_tpu.utils.fsutils import install_root
+
+    repo = os.path.dirname(install_root())
+    monkeypatch.chdir(tmp_path)  # CWD-relative README.md does not exist
+    assert sanitize_filepath("README.md") == os.path.join(repo, "README.md")
+    # relative path existing nowhere comes back unchanged
+    assert sanitize_filepath("missing-everywhere") == "missing-everywhere"

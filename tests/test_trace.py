@@ -82,7 +82,7 @@ def test_cli_profile_env_writes_trace(cli_model_dir_trace, tmp_path):
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
     )
     assert r.returncode == 0, r.stderr
-    files = [f for _, _, fs in __import__("os").walk(prof) for f in fs]
+    files = [f for _, _, fs in os.walk(prof) for f in fs]
     assert files, "profiler directory is empty"
 
 
