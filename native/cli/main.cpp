@@ -187,6 +187,22 @@ bool bridge_init(const std::string& config_json, int* scale) {
   return ok;
 }
 
+// Optional AOT warm-up (REALSR_TPU_PRECOMPILE=1, Python-CLI parity):
+// compile the first input's program set before the pipeline starts.
+void bridge_warmup(const std::string& first_path, bool verbose) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject* r =
+      PyObject_CallMethod(g_bridge, "warmup", "s", first_path.c_str());
+  if (r) {
+    if (verbose)
+      std::fprintf(stderr, "precompiled %ld programs\n", PyLong_AsLong(r));
+    Py_DECREF(r);
+  } else {
+    PyErr_Print();
+  }
+  PyGILState_Release(g);
+}
+
 // Dispatch only: the result stays on device (realsr_tpu keeps it there)
 // so the save thread's fetch (the one D2H) overlaps this thread's next
 // image's compute — the proc/save overlap the reference's pipeline split
@@ -524,6 +540,9 @@ int main(int argc, char** argv) {
       Py_Finalize();
       return -1;
     }
+    const char* pre = std::getenv("REALSR_TPU_PRECOMPILE");
+    if (pre && *pre && std::string(pre) != "0" && !input_files.empty())
+      bridge_warmup(input_files[0], verbose);
   }
   PyThreadState* main_state = PyEval_SaveThread();  // release GIL for workers
 

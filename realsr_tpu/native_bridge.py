@@ -96,6 +96,38 @@ def init(config_json: str) -> int:
     return _engines[0].scale
 
 
+def warmup(first_path: str) -> int:
+    """CLI warm-up parity (REALSR_TPU_PRECOMPILE, cli.py's warm-up block):
+    decode the first input with the pipeline's own codec path and
+    AOT-compile its program set on every engine — including the
+    REALSR_TPU_IMAGE_BATCH stack size. Returns the number of programs
+    built; never raises (warm-up must not break processing)."""
+    import sys
+
+    try:
+        from realsr_tpu.io.codecs import decode_image
+
+        img = decode_image(first_path)
+        if img is None:
+            raise ValueError(f"cannot decode {first_path}")
+        h, w, c = img.shape
+        ib = max(1, int(os.environ.get("REALSR_TPU_IMAGE_BATCH", "1") or 1))
+        total = 0
+        warmed = set()
+        for e in _engines:
+            if id(e) in warmed:  # mesh mode aliases one engine per slot
+                continue
+            warmed.add(id(e))
+            total += e.precompile(w, h, channels=c)
+            nb = min(ib, e.max_batch_images((h, w, c)))
+            if nb > 1:
+                total += e.precompile(w, h, channels=c, n_img=nb)
+        return total
+    except Exception as ex:
+        print(f"precompile skipped: {ex}", file=sys.stderr)
+        return 0
+
+
 def device_count() -> int:
     """Size of the accelerator pool engine gpuids index into (the analog of
     ncnn::get_gpu_count, reference main.cpp:722-732). Importable before

@@ -164,6 +164,28 @@ def test_binary_mesh_mode_matches_single(tmp_path, rng, dl2k_model_dir):
     assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
 
 
+def test_binary_precompile_warmup(tmp_path, rng, dl2k_model_dir):
+    """REALSR_TPU_PRECOMPILE=1 through the C++ binary AOT-warms the first
+    input's programs (bridge.warmup); outputs identical to the lazy run."""
+    from PIL import Image
+
+    img = rng.integers(0, 256, (14, 12, 3), dtype=np.uint8)
+    inp = tmp_path / "in.png"
+    Image.fromarray(img).save(inp)
+    out1, out2 = tmp_path / "lazy.png", tmp_path / "warm.png"
+    r = run_binary(["-i", str(inp), "-o", str(out1), "-m", dl2k_model_dir,
+                    "-g", "-1"])
+    assert r.returncode == 0, r.stderr
+    r = run_binary(["-i", str(inp), "-o", str(out2), "-m", dl2k_model_dir,
+                    "-g", "-1", "-v"],
+                   extra_env={"REALSR_TPU_PRECOMPILE": "1"})
+    assert r.returncode == 0, r.stderr
+    assert "precompiled" in r.stderr
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(out1)), np.asarray(Image.open(out2))
+    )
+
+
 def test_binary_tta_flag(tmp_path, rng, dl2k_model_dir):
     """-x through the C++ binary: tta_mode reaches the engine via the
     bridge config; output matches the library's TTA engine (up to the
