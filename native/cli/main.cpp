@@ -187,6 +187,41 @@ bool bridge_init(const std::string& config_json, int* scale) {
   return ok;
 }
 
+// Out-of-box model resolution (realsr_tpu.modelzoo.ensure_model): extended
+// search (CWD, exe dir, repo models/, user cache) + first-use placeholder
+// weight synthesis for the default DF2K dirs — the same path the Python
+// CLI uses, so a fresh clone works with zero setup in both CLIs.
+bool bridge_ensure_model(const std::string& model, int scale,
+                         std::string* parampath, std::string* modelpath) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  bool ok = false;
+  PyObject* mod = PyImport_ImportModule("realsr_tpu.modelzoo");
+  if (mod) {
+    PyObject* r = PyObject_CallMethod(mod, "ensure_model", "si",
+                                      model.c_str(), scale);
+    if (r) {
+      const char* s = PyUnicode_AsUTF8(r);
+      if (s) {
+        std::string both(s);
+        size_t nl = both.find('\n');
+        if (nl != std::string::npos) {
+          *parampath = both.substr(0, nl);
+          *modelpath = both.substr(nl + 1);
+          ok = true;
+        }
+      }
+      Py_DECREF(r);
+    } else {
+      PyErr_Print();
+    }
+    Py_DECREF(mod);
+  } else {
+    PyErr_Print();
+  }
+  PyGILState_Release(g);
+  return ok;
+}
+
 // Optional AOT warm-up (REALSR_TPU_PRECOMPILE=1, Python-CLI parity):
 // compile the first input's program set before the pipeline starts.
 void bridge_warmup(const std::string& first_path, bool verbose) {
@@ -194,8 +229,15 @@ void bridge_warmup(const std::string& first_path, bool verbose) {
   PyObject* r =
       PyObject_CallMethod(g_bridge, "warmup", "s", first_path.c_str());
   if (r) {
-    if (verbose)
-      std::fprintf(stderr, "precompiled %ld programs\n", PyLong_AsLong(r));
+    long n = PyLong_AsLong(r);
+    if (n == -1 && PyErr_Occurred()) {
+      // non-int return: clear the pending exception here rather than let
+      // it surface confusingly on a later CPython call (mirrors
+      // bridge_device_count's treatment of -1 as unknown)
+      PyErr_Print();
+    } else if (verbose) {
+      std::fprintf(stderr, "precompiled %ld programs\n", n);
+    }
     Py_DECREF(r);
   } else {
     PyErr_Print();
@@ -477,17 +519,15 @@ int main(int argc, char** argv) {
   }
 
   // model paths resolve relative to CWD, then the exe dir
-  // (filesystem_utils.h:167-173)
+  // (filesystem_utils.h:167-173); extended resolution + first-use weight
+  // synthesis for the default DF2K dirs runs through realsr_tpu.modelzoo
+  // after the interpreter starts (shared with the Python CLI). A local
+  // hit short-circuits without needing Python.
   std::string parampath =
       sanitize_filepath(model + "/x" + std::to_string(scale) + ".param");
   std::string modelpath =
       sanitize_filepath(model + "/x" + std::to_string(scale) + ".bin");
-  if (!path_exists(parampath) || !path_exists(modelpath)) {
-    std::fprintf(stderr,
-                 "model files not found under -m %s (tried %s / %s)\n",
-                 model.c_str(), parampath.c_str(), modelpath.c_str());
-    return -1;
-  }
+  bool model_resolved = path_exists(parampath) && path_exists(modelpath);
 
   if (gpuid.empty()) gpuid.push_back(0);
   if (jobs_proc.empty()) jobs_proc.assign(gpuid.size(), 2);
@@ -512,6 +552,13 @@ int main(int argc, char** argv) {
         return -1;
       }
     }
+  }
+  if (!model_resolved &&
+      !bridge_ensure_model(model, scale, &parampath, &modelpath)) {
+    std::fprintf(stderr, "model files not found under -m %s\n",
+                 model.c_str());
+    Py_Finalize();
+    return -1;
   }
   {
     // config as JSON (hand-rolled; ints/bools/strings only)

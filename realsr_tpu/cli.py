@@ -27,7 +27,6 @@ from realsr_tpu.utils.fsutils import (
     get_file_name_without_extension,
     list_directory,
     path_is_directory,
-    sanitize_filepath,
 )
 
 
@@ -216,6 +215,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                 # platform pinning below can take effect
                 shard = _jdist.global_state.process_id or 0
                 num_shards = _jdist.global_state.num_processes or 0
+        except ImportError:
+            # private-API pin (no public way to read this pre-backend-init):
+            # a jax upgrade that moves jax._src.distributed must not
+            # SILENTLY disable multi-host file sharding — tell the user the
+            # autodetect is gone so they can fall back to the env vars
+            print(
+                "warning: jax.distributed state probe unavailable in this "
+                "jax version; multi-host autodetect disabled (set "
+                "REALSR_TPU_SHARD / REALSR_TPU_NUM_SHARDS explicitly)",
+                file=sys.stderr,
+            )
         except Exception:
             pass
     if num_shards > 1:
@@ -232,16 +242,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("unknown model dir type", file=sys.stderr)
         return -1
 
-    parampath = sanitize_filepath(os.path.join(model, f"x{scale}.param"))
-    modelpath = sanitize_filepath(os.path.join(model, f"x{scale}.bin"))
-    if not os.path.exists(parampath) or not os.path.exists(modelpath):
+    # out-of-box model resolution: committed graphs + first-use weight
+    # synthesis for the default DF2K dirs (modelzoo; the reference ships
+    # models/* in-tree and in releases, release.yml:55-66)
+    from realsr_tpu.modelzoo import resolve_model_files
+
+    resolved = resolve_model_files(model, scale)
+    if resolved is None:
         print(
-            f"model files not found: {parampath} / {modelpath}\n"
-            "note: upstream releases ship the weights; this snapshot's "
-            "reference has none — synthesize with tools/make_weights.py",
+            f"model files not found under -m {model} "
+            f"(x{scale}.param / x{scale}.bin)",
             file=sys.stderr,
         )
         return -1
+    parampath, modelpath = resolved
 
     # --- JAX platform config BEFORE backend initialization ---------------
     # Env vars alone are not enough: the hosting environment may import jax
@@ -257,6 +271,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     if gpuid and all(g == -1 for g in gpuid):
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
+        # the reference gives the CPU engine `-j` proc-count OpenMP threads
+        # (main.cpp:734-746); the XLA:CPU analog bounds the intra-op pool
+        # at client creation — must happen before any backend use
+        from realsr_tpu.utils.cputhreads import (
+            configure_cpu_threads,
+            notice_cpu_threads_ignored,
+        )
+
+        n_intra = jobs_proc[0] if jobs_proc else 2
+        if not configure_cpu_threads(n_intra, verbose=verbose):
+            notice_cpu_threads_ignored()
     elif any(g == -1 for g in gpuid):
         cur = os.environ.get("JAX_PLATFORMS", "") or None
         if cur and "cpu" not in cur.split(","):

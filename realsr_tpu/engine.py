@@ -80,12 +80,27 @@ def _storage_dtype(storage: str, device) -> jnp.dtype:
     return jnp.bfloat16 if device.platform != "cpu" else jnp.float32
 
 
-def _auto_batch(tilesize: int, tta: bool) -> int:
+def _auto_batch(
+    tilesize: int,
+    tta: bool,
+    budget_bytes: int = 2048 * 1024 * 1024,
+    nf: int = 64,
+    dsize: int = 2,
+) -> int:
     # 8 is XLA:TPU's conv batch-split granule — measured on v5e, batches of
     # 12/16 cost exactly 2x a batch of 8 (tools/tpu_sweep.py), so nothing
-    # is gained past 8; smaller only when memory or TTA demands it.
+    # is gained past 8; smaller only when memory or TTA demands it. The
+    # memory cap: a chunk's forward working set is dominated by the tail's
+    # nf-channel activations at scale^2=16x the padded tile area
+    # (models/rrdbnet.py:319-327), i.e. ~16*px*nf*dsize bytes per tile;
+    # the chunk must fit the same device budget that bounds the resident
+    # buffers (engine._band_budget_bytes — REALSR_TPU_BAND_BUDGET_MB).
+    # At the production candidates (128/192/256 -> 1-2 KB/px/tile against
+    # the 2 GB default) the granule-8 ceiling binds, matching the measured
+    # optimum; the cap only shrinks batches for far larger tiles.
     px = (tilesize + 20) ** 2
-    b = max(1, min(8, int(2_000_000 / px)))
+    per_tile = 16 * px * nf * dsize
+    b = max(1, min(8, budget_bytes // per_tile))
     if tta:
         # TTA multiplies the net's batch by 8 dihedral variants; keep the
         # effective conv batch at the same granule.
@@ -139,6 +154,7 @@ class RealSR:
         # sharded over the mesh rather than silently replicated.
         self.sharding_probe: Optional[Callable] = None
         self.bundle: Optional[ModelBundle] = None
+        self._cpu_sibling: Optional["RealSR"] = None  # process_cpu's engine
         self.scale = 4
         self.prepadding = self.config.prepadding
         # 0 = auto: on accelerators the tile size is picked PER IMAGE
@@ -189,6 +205,7 @@ class RealSR:
             # mode — run it on the XLA conv path.
             variant = "dense"
         self.variant = variant
+        self._model_paths = (parampath, modelpath)  # for process_cpu's sibling
         self.bundle = load_model(
             parampath, modelpath, storage_dtype=dtype, variant=variant
         )
@@ -402,6 +419,18 @@ class RealSR:
 
     # -- inference -----------------------------------------------------
 
+    def _auto_batch(self, tilesize: int) -> int:
+        """Memory-honest batch granule for this engine's model/budget."""
+        nf = self.bundle.spec.nf if self.bundle and self.bundle.spec else 64
+        dsize = (
+            jnp.dtype(self.storage_dtype).itemsize
+            if hasattr(self, "storage_dtype")
+            else 2
+        )
+        return _auto_batch(
+            tilesize, self.tta_mode, self._band_budget_bytes(), nf, dsize
+        )
+
     def _pick_tilesize(self, w: int, h: int, n_img: int = 1) -> int:
         if self.tilesize:
             return self.tilesize
@@ -413,13 +442,13 @@ class RealSR:
         ndev = self.mesh.size if self.mesh is not None else 1
 
         def granule(t: int) -> int:
-            g = self.config.max_batch or _auto_batch(t, self.tta_mode)
+            g = self.config.max_batch or self._auto_batch(t)
             return -(-g // ndev) * ndev
 
         cands = (128, 192, 256) if self.variant == "pallas" else (128, 192)
         return pick_tilesize(
             w, h, self.prepadding, granule=granule, candidates=cands,
-            n_img=n_img,
+            n_img=n_img, ndev=ndev,
         )
 
     def _chunking(self, tilesize: int, n: int) -> tuple:
@@ -430,7 +459,7 @@ class RealSR:
         identical bytes on scatter. Shapes stay in a small reusable set so
         jit cache hits dominate across images."""
         ndev = self.mesh.size if self.mesh is not None else 1
-        max_batch = self.config.max_batch or _auto_batch(tilesize, self.tta_mode)
+        max_batch = self.config.max_batch or self._auto_batch(tilesize)
         max_batch = -(-max_batch // ndev) * ndev  # multiple of mesh size
         bsz = min(max_batch, 1 << (n - 1).bit_length())
         bsz = -(-bsz // ndev) * ndev
@@ -718,7 +747,14 @@ class RealSR:
         """True when a full-image run would exceed the band budget — the
         reference bounds memory at O(tile^2) by streaming row bands
         (src/realsr.cpp:176-228, SURVEY.md §5); this is the engine's
-        equivalent for arbitrarily large inputs."""
+        equivalent for arbitrarily large inputs.
+
+        Mesh mode replicates the padded input and the uint8 output on
+        EVERY device (only the tile batch is sharded — engine._build_jits
+        mesh shardings), so _footprint_bytes is already the PER-DEVICE
+        resident cost and this same budget check caps each chip's HBM:
+        oversized images band-stream under a mesh too, keeping every
+        device's resident buffers at O(band)."""
         h, w, c = shape
         return self._footprint_bytes(h, w, c) > self._band_budget_bytes()
 
@@ -836,9 +872,32 @@ class RealSR:
         out = self.fetch(self._process_stack_device(images))
         return [out[i] for i in range(out.shape[0])]
 
-    # reference-API alias (src/realsr.h:31): same program, CPU engine is
-    # just a RealSR constructed with gpuid=-1.
-    process_cpu = process
+    def process_cpu(
+        self,
+        image: np.ndarray,
+        progress_cb: Optional[Callable[[float], None]] = None,
+    ) -> np.ndarray:
+        """Reference API parity (src/realsr.h:31-33): ``process`` and
+        ``process_cpu`` coexist on one instance, and ``process_cpu`` really
+        runs on the host even when the engine is device-bound. Here XLA
+        retargets the same program: a lazily built CPU sibling engine
+        shares this engine's model files and config (storage/variant
+        re-resolve per-backend — f32 + XLA convs on CPU, like the
+        reference's all-f32 CPU path, src/realsr.cpp:525-838)."""
+        if self.device.platform == "cpu":
+            return self.process(image, progress_cb)
+        sib = self._cpu_sibling
+        if sib is None:
+            cfg = dataclasses.replace(self.config, tilesize=0)
+            sib = RealSR(
+                gpuid=-1,
+                tta_mode=self.tta_mode,
+                num_threads=self.num_threads,
+                config=cfg,
+            )
+            sib.load(*self._model_paths)
+            self._cpu_sibling = sib
+        return sib.process(image, progress_cb)
 
 
 @functools.lru_cache(maxsize=1)

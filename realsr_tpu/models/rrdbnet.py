@@ -61,19 +61,22 @@ def _precision(dtype):
     )
 
 
-def _conv3x3(x, w, b, slope=None):
+def _conv3x3(x, w, b, slope=None, op_dtype=None):
     """3x3 stride-1 pad-1 conv, f32 accumulation, optional LeakyReLU.
 
-    Returns f32; caller decides storage rounding.
+    Returns f32; caller decides storage rounding. ``op_dtype`` casts BOTH
+    operands (mixed mode: f32 state, bf16 MXU operands — the conv analog
+    of the reference's fp16-storage/fp32-arith policy, realsr.cpp:43-47).
     """
+    od = jnp.dtype(op_dtype) if op_dtype is not None else x.dtype
     y = jax.lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
+        x.astype(od),
+        w.astype(od),
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=_precision(x.dtype),
+        precision=_precision(od),
     )
     if b is not None:
         y = y + b.astype(jnp.float32)
@@ -82,23 +85,24 @@ def _conv3x3(x, w, b, slope=None):
     return y
 
 
-def _rdb(x, p, storage_dtype):
+def _rdb(x, p, storage_dtype, op_dtype=None):
     """Residual dense block. ``x`` is storage-dtype NHWC; returns same."""
+    od = op_dtype
     feats = x
-    c1 = _conv3x3(feats, p["w1"], p["b1"], LRELU_SLOPE).astype(storage_dtype)
+    c1 = _conv3x3(feats, p["w1"], p["b1"], LRELU_SLOPE, od).astype(storage_dtype)
     feats = jnp.concatenate([x, c1], axis=-1)
-    c2 = _conv3x3(feats, p["w2"], p["b2"], LRELU_SLOPE).astype(storage_dtype)
+    c2 = _conv3x3(feats, p["w2"], p["b2"], LRELU_SLOPE, od).astype(storage_dtype)
     feats = jnp.concatenate([x, c1, c2], axis=-1)
-    c3 = _conv3x3(feats, p["w3"], p["b3"], LRELU_SLOPE).astype(storage_dtype)
+    c3 = _conv3x3(feats, p["w3"], p["b3"], LRELU_SLOPE, od).astype(storage_dtype)
     feats = jnp.concatenate([x, c1, c2, c3], axis=-1)
-    c4 = _conv3x3(feats, p["w4"], p["b4"], LRELU_SLOPE).astype(storage_dtype)
+    c4 = _conv3x3(feats, p["w4"], p["b4"], LRELU_SLOPE, od).astype(storage_dtype)
     feats = jnp.concatenate([x, c1, c2, c3, c4], axis=-1)
-    c5 = _conv3x3(feats, p["w5"], p["b5"])  # f32, no activation
+    c5 = _conv3x3(feats, p["w5"], p["b5"], None, od)  # f32, no activation
     y = RESIDUAL_SCALE * c5 + x.astype(jnp.float32)
     return y.astype(storage_dtype)
 
 
-def _rdb_scatter(x, p, storage_dtype):
+def _rdb_scatter(x, p, storage_dtype, op_dtype=None):
     """Dense block, scatter-weight formulation (exact same math as _rdb).
 
     The dense block's conv_i reads ``concat(x, c1..c_{i-1})``; by linearity
@@ -112,16 +116,17 @@ def _rdb_scatter(x, p, storage_dtype):
     the total MACs are unchanged. On large tiles this measures ~2x faster
     than the concat formulation on TPU v5e; the engine picks per-shape.
     """
+    od = op_dtype
     gc = p["b1"].shape[-1]
-    px = _conv3x3(x, p["sw0"], None)  # x -> contributions to c1..c5
+    px = _conv3x3(x, p["sw0"], None, None, od)  # x -> contributions to c1..c5
     c1 = _lrelu(px[..., :gc] + p["b1"]).astype(storage_dtype)
-    p1 = _conv3x3(c1, p["sw1"], None)  # c1 -> contributions to c2..c5
+    p1 = _conv3x3(c1, p["sw1"], None, None, od)  # c1 -> contributions to c2..c5
     c2 = _lrelu(px[..., gc : 2 * gc] + p1[..., :gc] + p["b2"]).astype(storage_dtype)
-    p2 = _conv3x3(c2, p["sw2"], None)
+    p2 = _conv3x3(c2, p["sw2"], None, None, od)
     c3 = _lrelu(
         px[..., 2 * gc : 3 * gc] + p1[..., gc : 2 * gc] + p2[..., :gc] + p["b3"]
     ).astype(storage_dtype)
-    p3 = _conv3x3(c3, p["sw3"], None)
+    p3 = _conv3x3(c3, p["sw3"], None, None, od)
     c4 = _lrelu(
         px[..., 3 * gc : 4 * gc]
         + p1[..., 2 * gc : 3 * gc]
@@ -129,7 +134,7 @@ def _rdb_scatter(x, p, storage_dtype):
         + p3[..., :gc]
         + p["b4"]
     ).astype(storage_dtype)
-    p4 = _conv3x3(c4, p["sw4"], None)
+    p4 = _conv3x3(c4, p["sw4"], None, None, od)
     c5 = (
         px[..., 4 * gc :]
         + p1[..., 3 * gc :]
@@ -177,7 +182,7 @@ def repack_scatter(params):
     return new
 
 
-def _upconv_x2(x, w, b):
+def _upconv_x2(x, w, b, op_dtype=None):
     """``nearest-x2 upsample -> conv3x3 -> lrelu`` as ONE stride-2 transposed
     conv with a 4x4 tap-sum kernel (exact: each output phase of the
     upsampled conv reads each source pixel through sums of adjacent taps;
@@ -186,6 +191,7 @@ def _upconv_x2(x, w, b):
     are computed in f32 from the stored weights, then cast to the compute
     dtype.
     """
+    od = jnp.dtype(op_dtype) if op_dtype is not None else x.dtype
     w = w.astype(jnp.float32)
     rows = jnp.stack([w[2], w[1] + w[2], w[0] + w[1], w[0]])
     k4 = jnp.stack(
@@ -193,19 +199,19 @@ def _upconv_x2(x, w, b):
         axis=1,
     )[::-1, ::-1]
     y = jax.lax.conv_general_dilated(
-        x,
-        k4.astype(x.dtype),
+        x.astype(od),
+        k4.astype(od),
         window_strides=(1, 1),
         padding=((2, 2), (2, 2)),
         lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=_precision(x.dtype),
+        precision=_precision(od),
     )
     return _lrelu(y + b.astype(jnp.float32))
 
 
-def _forward_pallas(params, x, spec, storage_dtype):
+def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
     """Forward with the 23-block trunk on the fused Pallas RDB kernel
     (ops.rdb_kernel) and the tail (trunk conv + upsampler + HR + last) as
     XLA convs.
@@ -221,8 +227,11 @@ def _forward_pallas(params, x, spec, storage_dtype):
     """
     from realsr_tpu.ops import rdb_kernel as RK
 
+    od = jnp.dtype(op_dtype) if op_dtype is not None else jnp.dtype(storage_dtype)
+    kernel_od = od if od != jnp.dtype(storage_dtype) else None
+
     x = x.astype(storage_dtype)
-    fea = _conv3x3(x, params["conv_first"]["w"], params["conv_first"]["b"])
+    fea = _conv3x3(x, params["conv_first"]["w"], params["conv_first"]["b"], None, od)
     fea = fea.astype(storage_dtype)
 
     B, H, W, nf = fea.shape
@@ -239,7 +248,7 @@ def _forward_pallas(params, x, spec, storage_dtype):
             pj = jax.tree.map(lambda a: a[j], block_p)
             y = RK.rdb_apply(
                 cur, pj, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
-                db=RK.COLS_DB,
+                db=RK.COLS_DB, op_dtype=kernel_od,
             )
             cur = RK.re_apron(y, WB)
         y3 = cur[:, :, 5 * WB : 5 * WB + Hp * WB]
@@ -251,15 +260,15 @@ def _forward_pallas(params, x, spec, storage_dtype):
     tf, _ = jax.lax.scan(rrdb_body, t0, params["rdb"])
     body = RK.from_flat(tf[:, :, 5 * WB : 5 * WB + Hp * WB], H, W, WB)
 
-    trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"])
+    trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"], None, od)
     fea = (fea.astype(jnp.float32) + trunk).astype(storage_dtype)
     for s in range(spec.num_upsample):
         up = jax.tree.map(lambda a: a[s], params["up"])
-        fea = _upconv_x2(fea, up["w"], up["b"]).astype(storage_dtype)
-    fea = _conv3x3(fea, params["hr"]["w"], params["hr"]["b"], LRELU_SLOPE).astype(
-        storage_dtype
-    )
-    return _conv3x3(fea, params["last"]["w"], params["last"]["b"])
+        fea = _upconv_x2(fea, up["w"], up["b"], od).astype(storage_dtype)
+    fea = _conv3x3(
+        fea, params["hr"]["w"], params["hr"]["b"], LRELU_SLOPE, od
+    ).astype(storage_dtype)
+    return _conv3x3(fea, params["last"]["w"], params["last"]["b"], None, od)
 
 
 def rrdbnet_forward(

@@ -48,6 +48,15 @@ def init(config_json: str) -> int:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+        # map -j proc count onto the XLA:CPU intra-op pool (same contract
+        # as cli.py; reference main.cpp:734-746)
+        from realsr_tpu.utils.cputhreads import (
+            configure_cpu_threads,
+            notice_cpu_threads_ignored,
+        )
+
+        if not configure_cpu_threads(cfg["jobs_proc"][0]):
+            notice_cpu_threads_ignored()
 
     from realsr_tpu.engine import EngineConfig, RealSR
 
@@ -184,6 +193,11 @@ def process_batch_async(engine_idx: int, pixel_list, w: int, h: int, c: int):
 
     eng = _engines[engine_idx]
     imgs = [np.frombuffer(p, dtype=np.uint8).reshape(h, w, c) for p in pixel_list]
+    # stage into a local map and merge only after EVERY sub-stack
+    # dispatched: if a later sub-stack raises (e.g. OOM), the C++ caller
+    # gets no handle list, and handles registered globally before the
+    # failure would leak their device buffers for the process lifetime
+    staged: Dict[int, Tuple[object, object]] = {}
     handles = []
     cap = eng.max_batch_images((h, w, c))
     for k in range(0, len(imgs), max(1, cap)):
@@ -193,14 +207,15 @@ def process_batch_async(engine_idx: int, pixel_list, w: int, h: int, c: int):
             # band-streams oversized images like the Python pipeline
             for img in sub:
                 handle = next(_next_handle)
-                _handles[handle] = _dispatch_img(engine_idx, img)
+                staged[handle] = _dispatch_img(engine_idx, img)
                 handles.append(handle)
             continue
         buf = eng._process_stack_device(np.stack(sub))
         for i in range(len(sub)):
             handle = next(_next_handle)
-            _handles[handle] = (eng, buf[i])
+            staged[handle] = (eng, buf[i])
             handles.append(handle)
+    _handles.update(staged)
     return handles
 
 

@@ -98,6 +98,7 @@ def _rdb_kernel(
     b5,
     out_ref,
     xg,
+    xb,
     cols_ref,
     cols2_ref,
     sem,
@@ -133,6 +134,16 @@ def _rdb_kernel(
     xg[:, : _G] = jnp.zeros((nf, _G), xg.dtype)
     xg[:, _G + flatd :] = jnp.zeros((nf, xg.shape[1] - _G - flatd), xg.dtype)
     cp.wait()
+
+    # Mixed precision (f32 carry / lower-precision matmul operands): the
+    # chain state lives in HBM at xg's dtype (f32) so the 69 chained RDB
+    # round-trips never round it; the matmuls read a one-time cast copy.
+    # When xb is the dummy tile (same-dtype mode) the operands are xg
+    # itself — bit-identical to the single-dtype kernel.
+    mixed = xb.shape == xg.shape
+    if mixed:
+        xb[...] = xg[...].astype(xb.dtype)
+    xop = xb if mixed else xg
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT), 1)
     trow = r * BLK + ids // WB - 5  # buffer row -> tile row
@@ -191,8 +202,8 @@ def _rdb_kernel(
     # bias-seeded f32 accumulators a2..a5 so only ONE stage output [n,FLAT]
     # is ever live alongside the (shrinking) accumulator set — peak VMEM
     # stays under the 16MB scoped limit at BLK=40.
-    dt = xg.dtype
-    px = stage(xg, w0[:])  # [4gc+nf, FLAT] f32
+    dt = xop.dtype
+    px = stage(xop, w0[:])  # [4gc+nf, FLAT] f32
     c1 = jnp.where(valid, _lrelu(px[0:gc] + b1[:]), 0.0).astype(dt)
     a2 = px[gc : 2 * gc] + b2[:]
     a3 = px[2 * gc : 3 * gc] + b3[:]
@@ -213,18 +224,19 @@ def _rdb_kernel(
     p4 = stage(guard(c4), w4[:])  # [nf, FLAT]
     c5 = a5 + p4
     xc = xg[:, _G : _G + FLAT].astype(jnp.float32)
-    y = jnp.where(valid, RESIDUAL_SCALE * c5 + xc, 0.0).astype(dt)
+    y = jnp.where(valid, RESIDUAL_SCALE * c5 + xc, 0.0).astype(xg.dtype)
     out_ref[0] = y[:, 5 * WB : (5 + BLK) * WB]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "H", "W", "WB", "BLK", "nblk", "nf", "gc", "ch", "db", "interpret",
+        "H", "W", "WB", "BLK", "nblk", "nf", "gc", "ch", "db", "op_dtype",
+        "interpret",
     ),
 )
 def rdb_apply(
-    x_flat: jnp.ndarray,  # [B, nf, (Hp+10)*WB] bf16, aproned
+    x_flat: jnp.ndarray,  # [B, nf, (Hp+10)*WB] bf16|f32, aproned
     kp: Dict[str, jnp.ndarray],  # kernel params (see pack_rdb_params)
     *,
     H: int,
@@ -236,14 +248,27 @@ def rdb_apply(
     gc: int,
     ch: int = _CH,
     db: bool = True,
+    op_dtype=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """One fused RDB on the flat transposed layout -> [B, nf, Hp*WB]."""
+    """One fused RDB on the flat transposed layout -> [B, nf, Hp*WB].
+
+    ``op_dtype``: matmul operand dtype. Default = x's dtype (single-dtype
+    mode, bit-identical to the historical kernel). With x f32 and
+    ``op_dtype=bfloat16`` the kernel runs MIXED: the chain state stays f32
+    in HBM (no accumulated storage rounding across the 69 chained RDBs of
+    the 23-block trunk — the fix for the bf16-fast/f16-accurate numerics
+    fork), while the MXU matmuls read a one-time bf16 cast (native mode).
+    The reference's analog is fp16-storage/fp32-arithmetic at full speed
+    (src/realsr.cpp:43-47); this mode rounds strictly less than that.
+    """
     B = x_flat.shape[0]
     R0 = BLK + 10
     FLAT = R0 * WB
     _G = _guard_lanes(WB)
     padf = -(-FLAT // ch) * ch
+    op = jnp.dtype(op_dtype) if op_dtype is not None else x_flat.dtype
+    mixed = op != x_flat.dtype
     kernel = functools.partial(
         _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nf=nf, gc=gc, ch=ch, db=db
     )
@@ -260,11 +285,14 @@ def rdb_apply(
         out_shape=jax.ShapeDtypeStruct((B, nf, nblk * BLK * WB), x_flat.dtype),
         scratch_shapes=[
             pltpu.VMEM((nf, padf + 2 * _G), x_flat.dtype),
-            pltpu.VMEM((9 * nf, ch), x_flat.dtype),
+            # operand copy (mixed mode only; the dummy tile keeps the
+            # kernel signature stable — the kernel detects it by shape)
+            pltpu.VMEM((nf, padf + 2 * _G) if mixed else (8, 128), op),
+            pltpu.VMEM((9 * nf, ch), op),
             # second cols buffer only when double-buffering; a minimal
             # tile keeps the kernel signature stable for db=False A/Bs
             # without carrying the ~2MB footprint being measured against
-            pltpu.VMEM((9 * nf, ch) if db else (8, 128), x_flat.dtype),
+            pltpu.VMEM((9 * nf, ch) if db else (8, 128), op),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(

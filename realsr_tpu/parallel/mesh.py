@@ -53,7 +53,11 @@ def mesh_from_env(spec: str) -> Mesh:
         idxs = [int(s) for s in spec.split(",") if s.strip() != ""]
     except ValueError:
         raise ValueError(f"invalid REALSR_TPU_MESH {spec!r}") from None
-    if not idxs or any(i < 0 or i >= len(pool) for i in idxs):
+    if (
+        not idxs
+        or any(i < 0 or i >= len(pool) for i in idxs)
+        or len(set(idxs)) != len(idxs)  # a Mesh must not repeat a device
+    ):
         raise ValueError(
             f"invalid REALSR_TPU_MESH {spec!r} (pool has {len(pool)} devices)"
         )

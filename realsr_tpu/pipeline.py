@@ -152,36 +152,60 @@ def proc_worker(
         # overlaps this thread's next image's compute — the TPU analog of
         # the reference's download/compute pipelining opportunity its
         # per-tile submit_and_wait forfeits (realsr.cpp:475-495).
-        if oversized:
-            # too big for a resident device buffer: band-stream each image
-            # (O(band) device memory, bit-identical output); results land
-            # on host — engine.fetch passes host arrays through on save
-            for b in batch:
-                b.outimage = (engine, engine.process_banded(b.inimage, progress_cb=cb))
-        elif len(batch) == 1:
-            t.outimage = (engine, engine.process_device(t.inimage, progress_cb=cb))
-        else:
-            import numpy as _np
+        # Per-task failure contract: print-and-continue like the reference
+        # (main.cpp:405-412) — a raising dispatch (device OOM, corrupt
+        # state) must not kill this worker and strand everything queued
+        # behind it, so failed tasks are dropped with a diagnostic and the
+        # rest of the batch/queue keeps flowing.
+        try:
+            if oversized:
+                # too big for a resident device buffer: band-stream each
+                # image (O(band) device memory, bit-identical output);
+                # results land on host — engine.fetch passes host arrays
+                # through on save
+                for b in batch:
+                    b.outimage = (
+                        engine, engine.process_banded(b.inimage, progress_cb=cb)
+                    )
+            elif len(batch) == 1:
+                t.outimage = (engine, engine.process_device(t.inimage, progress_cb=cb))
+            else:
+                import numpy as _np
 
-            stack = _np.stack([b.inimage for b in batch])
-            buf = engine._process_stack_device(stack, progress_cb=cb)
-            for i, b in enumerate(batch):
-                b.outimage = (engine, buf[i])
+                stack = _np.stack([b.inimage for b in batch])
+                buf = engine._process_stack_device(stack, progress_cb=cb)
+                for i, b in enumerate(batch):
+                    b.outimage = (engine, buf[i])
+        except Exception as ex:
+            for b in batch:
+                if b.outimage is None:
+                    print(f"process image {b.inpath} failed: {ex}", file=sys.stderr)
         for b in batch:
             b.inimage = None  # free decoded input (save frees in reference)
-            tosave.put(b)
+            if b.outimage is not None:
+                tosave.put(b)
 
 
 def save_worker(tosave: TaskQueue, verbose: bool) -> None:
-    """Pop result, encode by extension (main.cpp:339-416)."""
+    """Pop result, encode by extension (main.cpp:339-416).
+
+    Failures (a raising fetch/encode as much as an encoder returning
+    False) print-and-continue per image like the reference
+    (main.cpp:405-412) — an exception must not kill this worker, which
+    would strand every result queued behind it while the poison-pill
+    accounting still lets the CLI exit silently."""
     while True:
         t = tosave.get()
         if t.id == POISON_ID:
             break
-        engine, buf = t.outimage
-        out = engine.fetch(buf)
-        with tracer.span("encode"):
-            ok = encode_image(t.outpath, out)
+        try:
+            engine, buf = t.outimage
+            out = engine.fetch(buf)
+            with tracer.span("encode"):
+                ok = encode_image(t.outpath, out)
+        except Exception as ex:
+            print(f"encode image {t.outpath} failed: {ex}", file=sys.stderr)
+            continue
         if ok:
             if verbose:
                 print(f"{t.inpath} -> {t.outpath} done", file=sys.stderr)

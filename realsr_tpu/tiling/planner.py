@@ -123,6 +123,7 @@ def pick_tilesize(
     granule=8,
     candidates: Tuple[int, ...] = _TILE_CANDIDATES,
     n_img: int = 1,
+    ndev: int = 1,
 ) -> int:
     """Per-image auto tile size: minimize total padded-tile work.
 
@@ -133,7 +134,10 @@ def pick_tilesize(
     the tile grid lands on the image — weighted by the bucket's measured
     per-pixel cost (_px_rate). ``granule`` may be a callable
     ``tilesize -> g`` so the model uses each CANDIDATE's real dispatch
-    granule (the engine's batch depends on the tile size). Ties break
+    granule (the engine's batch depends on the tile size). ``ndev``: mesh
+    device count — the engine rounds every chunk batch up to a device
+    multiple (engine._chunking), so the cost model must too or it
+    underestimates pad waste for small buckets under a mesh. Ties break
     toward larger tiles (fewer dispatches).
     """
     gfn = granule if callable(granule) else (lambda _t: granule)
@@ -145,6 +149,7 @@ def pick_tilesize(
         for (ph, pw), idxs in plan.buckets.items():
             n = len(idxs) * n_img
             nb = min(g, 1 << (n - 1).bit_length())
+            nb = -(-nb // ndev) * ndev  # engine._chunking's mesh rounding
             cost += -(-n // nb) * nb * ph * pw * _px_rate(ph, pw)
         if best is None or cost < best[0] or (cost == best[0] and t > best[1]):
             best = (cost, t)

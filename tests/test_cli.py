@@ -324,3 +324,79 @@ def test_multihost_file_shard(tmp_path, monkeypatch, capsys):
     assert rc == 0
     got = sorted(p.name for p in outd.iterdir())
     assert got == ["1.png", "3.png"]  # shard 1 of 2 over the sorted listing
+
+
+def test_multihost_two_process_e2e(cli_model_dir, tmp_path):
+    """VERDICT r2 #7: REAL two-process sharding e2e — launch two CLI
+    processes with REALSR_TPU_SHARD=0/1 over one directory and assert
+    their output sets are disjoint, complete, and byte-identical to a
+    single-process run (multi-host DCN contract, SURVEY.md §5)."""
+    rng = np.random.default_rng(21)
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for i in range(5):
+        Image.fromarray(
+            rng.integers(0, 256, (9, 8, 3), np.uint8)
+        ).save(ind / f"{i}.png")
+
+    def launch(outdir, shard=None):
+        outdir.mkdir()
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        if shard is not None:
+            env["REALSR_TPU_SHARD"] = str(shard)
+            env["REALSR_TPU_NUM_SHARDS"] = "2"
+        else:
+            env.pop("REALSR_TPU_SHARD", None)
+            env.pop("REALSR_TPU_NUM_SHARDS", None)
+        return subprocess.Popen(
+            [sys.executable, "-m", "realsr_tpu", "-i", str(ind), "-o",
+             str(outdir), "-m", cli_model_dir, "-g", "-1", "-t", "32"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+
+    d0, d1, dref = tmp_path / "s0", tmp_path / "s1", tmp_path / "ref"
+    procs = [launch(d0, 0), launch(d1, 1), launch(dref)]
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()
+
+    got0 = {p.name for p in d0.iterdir()}
+    got1 = {p.name for p in d1.iterdir()}
+    ref = {p.name for p in dref.iterdir()}
+    assert got0 and got1 and not (got0 & got1)  # disjoint
+    assert got0 | got1 == ref  # complete
+    for name in ref:  # byte-identical to the single-process run
+        src = d0 if name in got0 else d1
+        assert (src / name).read_bytes() == (dref / name).read_bytes()
+
+
+def test_cpu_jobs_thread_notice(cli_model_dir, img_dir, tmp_path, capsys):
+    """-j proc counts on CPU either bound the XLA intra-op pool or print
+    an explicit deviation notice — never silently ignored (reference gives
+    the CPU engine OpenMP num_threads, main.cpp:734-746)."""
+    import jax
+
+    jax.devices()  # ensure the backend is initialized in this process
+    out = tmp_path / "o.png"
+    rc = main(["-i", f"{img_dir}/b.png", "-o", str(out), "-m", cli_model_dir,
+               "-g", "-1", "-j", "1:3:1"])
+    err = capsys.readouterr().err
+    assert rc == 0
+    # in-process the pool pre-exists, so the explicit notice must appear
+    assert "does not tune CPU inference" in err
+
+
+def test_zero_setup_default_model(tmp_path):
+    """VERDICT r2 #4 Done-criterion: `realsr-tpu -i a.png -o b.png` works
+    from a fresh clone with the default -m (committed graph + first-use
+    weight synthesis, full 999-layer RRDBNet)."""
+    rng = np.random.default_rng(3)
+    inp = tmp_path / "in.png"
+    Image.fromarray(rng.integers(0, 256, (12, 12, 3), np.uint8)).save(inp)
+    out = tmp_path / "out.png"
+    r = run_cli(["-i", str(inp), "-o", str(out), "-g", "-1"])
+    assert r.returncode == 0, r.stderr
+    assert np.asarray(Image.open(out)).shape == (48, 48, 3)

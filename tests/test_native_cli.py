@@ -214,3 +214,26 @@ def test_binary_usage_error():
     r = run_binary([])
     assert r.returncode != 0
     assert "Usage" in r.stderr
+
+
+def test_binary_synthesizes_missing_weights(tmp_path, rng):
+    """Out-of-box model experience (VERDICT r2 #4): a DF2K dir with the
+    graph but no x4.bin gets placeholder weights synthesized through
+    realsr_tpu.modelzoo — same path as the Python CLI."""
+    from PIL import Image
+
+    from realsr_tpu.ncnn.synth import make_model_dir
+    from tests.conftest import TINY_SPEC
+
+    d = tmp_path / "models-DF2K"
+    make_model_dir(str(d), TINY_SPEC, seed=7)
+    os.remove(d / "x4.bin")
+
+    img = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    inp = tmp_path / "in.png"
+    Image.fromarray(img).save(inp)
+    out = tmp_path / "out.png"
+    r = run_binary(["-i", str(inp), "-o", str(out), "-m", str(d), "-g", "-1"])
+    assert r.returncode == 0, r.stderr
+    assert "placeholder weights" in r.stderr
+    assert out.exists() and os.path.getsize(d / "x4.bin") > 0

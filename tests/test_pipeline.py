@@ -180,3 +180,64 @@ def test_image_batching_proc(tmp_path, rng, tiny_model_dir):
         b = decode_image(str(outd2 / f"{i}.png"))
         d = np.abs(a.astype(int) - b.astype(int))
         assert d.max() <= 1 and (d > 0).mean() < 0.01
+
+
+class PoisonedEngine(FakeEngine):
+    """Raises on a designated input path (proc) or on fetch of a marked
+    buffer (save) — models a device OOM / corrupt state mid-run."""
+
+    def __init__(self, fail_proc_on=None, fail_fetch_on=None):
+        self.fail_proc_on = fail_proc_on
+        self.fail_fetch_on = fail_fetch_on
+
+    def process_device(self, img, progress_cb=None):
+        if self.fail_proc_on is not None and img.shape == self.fail_proc_on:
+            raise RuntimeError("injected dispatch failure")
+        return super().process_device(img, progress_cb)
+
+    def fetch(self, buf):
+        if self.fail_fetch_on is not None and buf.shape == self.fail_fetch_on:
+            raise RuntimeError("injected fetch failure")
+        return buf
+
+
+def _pipeline_with_failures(tmp_path, capsys, **engine_kw):
+    """3 images, one of which the engine is poisoned against; the other two
+    must still be written (reference print-and-continue, main.cpp:405-412)."""
+    from PIL import Image
+
+    shapes = {"a": (5, 6, 3), "b": (7, 6, 3), "c": (9, 6, 3)}
+    ins, outs = [], []
+    for name, shape in shapes.items():
+        p = tmp_path / f"{name}.png"
+        Image.fromarray(np.zeros(shape, np.uint8)).save(p)
+        ins.append(str(p))
+        outs.append(str(tmp_path / f"{name}_out.png"))
+    run_pipeline(
+        ins, outs,
+        engines=[PoisonedEngine(**engine_kw)],
+        jobs_proc=[2], jobs_load=1, jobs_save=1,
+        verbose=True, progress=False,
+    )
+    import os
+
+    return [os.path.exists(o) for o in outs], capsys.readouterr().err
+
+
+def test_proc_failure_prints_and_continues(tmp_path, capsys):
+    done, err = _pipeline_with_failures(
+        tmp_path, capsys, fail_proc_on=(7, 6, 3)
+    )
+    assert done == [True, False, True]
+    assert "process image" in err and "failed" in err
+    assert err.count("done") == 2
+
+
+def test_save_failure_prints_and_continues(tmp_path, capsys):
+    # fetch of b's 4x buffer raises inside the save worker
+    done, err = _pipeline_with_failures(
+        tmp_path, capsys, fail_fetch_on=(28, 24, 3)
+    )
+    assert done == [True, False, True]
+    assert "encode image" in err and "failed" in err
+    assert err.count("done") == 2

@@ -134,3 +134,27 @@ def test_mesh_tta_matches_single(tiny_model_dir, rng):
     sharded = RealSR(tta_mode=True, config=cfg, mesh=make_mesh(jax.devices()[:4]))
     sharded.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
     assert_u8_close(single.process(img), sharded.process(img))
+
+
+def test_mesh_from_env_rejects_duplicates():
+    """REALSR_TPU_MESH=0,0 must fail with the documented clean diagnostic,
+    not a deep jax error about repeated devices (advisor r2)."""
+    from realsr_tpu.parallel.mesh import mesh_from_env
+
+    with pytest.raises(ValueError, match="invalid REALSR_TPU_MESH"):
+        mesh_from_env("0,0")
+
+
+def test_mesh_oversized_image_bands_per_device(pair, rng, monkeypatch):
+    """VERDICT r2 #9: mesh mode replicates the image buffers per device,
+    so the band budget caps PER-DEVICE memory — an over-budget image must
+    route through band streaming under a mesh and still match the
+    single-device output exactly."""
+    single, sharded = pair
+    img = rng.integers(0, 256, (64, 40, 3), dtype=np.uint8)
+    monkeypatch.setenv("REALSR_TPU_BAND_BUDGET_MB", "0")
+    assert sharded.needs_banding(img.shape)
+    got = sharded.process(img)  # routes to process_banded under the mesh
+    monkeypatch.delenv("REALSR_TPU_BAND_BUDGET_MB")
+    expected = single.process(img)
+    np.testing.assert_array_equal(got, expected)

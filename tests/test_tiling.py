@@ -61,3 +61,17 @@ def test_pick_tilesize_minimizes_pad_waste():
     assert _px_rate(10, 10) == 1.0
     assert _px_rate(276, 276) <= _px_rate(212, 212) <= _px_rate(148, 148)
     assert _px_rate(4000, 4000) == _px_rate(276, 276)
+
+
+def test_pick_tilesize_mesh_rounding():
+    """Under a mesh the chunk batch rounds up to the device multiple
+    (engine._chunking); the planner's cost model must model that padding
+    (advisor r2) — and still return a valid candidate."""
+    from realsr_tpu.tiling.planner import pick_tilesize
+
+    for ndev in (1, 4, 8):
+        t = pick_tilesize(500, 400, 10, granule=8, ndev=ndev)
+        assert t in (128, 192, 256)
+    # a small image (few tiles/bucket) pays more pad waste per bucket at
+    # ndev=8; the model must at least produce a deterministic choice
+    assert pick_tilesize(140, 140, 10, granule=8, ndev=8) in (128, 192, 256)

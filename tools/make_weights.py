@@ -12,7 +12,6 @@ Creates <outdir>/models-DF2K/x4.{param,bin} and models-DF2K_JPEG/ (seed+1).
 
 import argparse
 import os
-import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -21,8 +20,6 @@ from realsr_tpu.ncnn.bin import write_weights
 from realsr_tpu.ncnn.param import parse_param_file
 from realsr_tpu.ncnn.synth import make_rrdbnet_param_text, synth_weights
 from realsr_tpu.models.rrdbnet import RRDBNetSpec
-
-REF_PARAM = "/root/reference/models/models-DF2K/x4.param"
 
 
 def main() -> int:
@@ -35,9 +32,7 @@ def main() -> int:
         d = os.path.join(args.outdir, name)
         os.makedirs(d, exist_ok=True)
         param_path = os.path.join(d, "x4.param")
-        if os.path.exists(REF_PARAM):
-            shutil.copyfile(REF_PARAM, param_path)
-        else:
+        if not os.path.exists(param_path):  # committed graphs take priority
             with open(param_path, "w") as f:
                 f.write(make_rrdbnet_param_text(RRDBNetSpec()))
         graph = parse_param_file(param_path)
