@@ -63,21 +63,32 @@ class EngineConfig:
     compilation_cache: bool = True
 
 
-def _storage_dtype(storage: str, device) -> jnp.dtype:
+def _resolve_precision(storage: str, device) -> tuple:
+    """storage mode -> (storage_dtype, op_dtype).
+
+    storage_dtype is what the carried activations/buffers hold between
+    ops; op_dtype is what the convs/matmuls read. The reference runs
+    fp16-storage/fp32-arithmetic at full GPU speed as its ONE config
+    (src/realsr.cpp:43-47); the TPU analog is ``mixed`` — f32 carried
+    state (never rounds, so no accumulated error across the 69-RDB chain)
+    with bf16 MXU operands (native speed). That is the accelerator
+    default. Explicit modes: float32 | bfloat16 (legacy all-bf16
+    throughput mode) | float16 (bit-closest parity mode; XLA conv path —
+    Mosaic has no f16) | mixed.
+    """
     if storage == "float32":
-        return jnp.float32
+        return jnp.float32, jnp.float32
     if storage == "bfloat16":
-        return jnp.bfloat16
+        return jnp.bfloat16, jnp.bfloat16
     if storage == "float16":
-        # closest-parity mode to the reference's fp16-storage/fp32-arith
-        # GPU numerics (src/realsr.cpp:43-47): 10 mantissa bits vs bf16's
-        # 7; accumulation stays f32 (preferred_element_type in the conv).
-        return jnp.float16
+        return jnp.float16, jnp.float16
+    if storage == "mixed":
+        return jnp.float32, jnp.bfloat16
     if storage != "auto":
         raise ValueError(f"unknown storage mode {storage!r}")
-    # auto: bf16 storage on accelerator (reference uses fp16 storage on GPU,
-    # src/realsr.cpp:45), f32 on CPU (reference CPU path is all-f32).
-    return jnp.bfloat16 if device.platform != "cpu" else jnp.float32
+    if device.platform == "cpu":
+        return jnp.float32, jnp.float32  # reference CPU path is all-f32
+    return jnp.float32, jnp.bfloat16
 
 
 def _auto_batch(
@@ -189,8 +200,9 @@ class RealSR:
         """Parse + load model files, move params to the device, build jits.
 
         Returns 0 like the reference (src/realsr.cpp:142)."""
-        dtype = _storage_dtype(self.config.storage, self.device)
+        dtype, op_dtype = _resolve_precision(self.config.storage, self.device)
         self.storage_dtype = dtype
+        self.op_dtype = op_dtype
         variant = self.config.variant
         if variant == "auto":
             # fused Pallas kernel on TPU-like backends only (Mosaic cannot
@@ -207,7 +219,8 @@ class RealSR:
         self.variant = variant
         self._model_paths = (parampath, modelpath)  # for process_cpu's sibling
         self.bundle = load_model(
-            parampath, modelpath, storage_dtype=dtype, variant=variant
+            parampath, modelpath, storage_dtype=dtype, variant=variant,
+            op_dtype=op_dtype,
         )
         self.scale = self.bundle.scale
         where = replicated(self.mesh) if self.mesh is not None else self.device

@@ -55,15 +55,22 @@ def load_model(
     storage_dtype=jnp.float32,
     allow_fast_path: bool = True,
     variant: str = "dense",
+    op_dtype=None,
 ) -> ModelBundle:
     """``variant``: RDB conv formulation for the fast path — 'dense' keeps
     the graph's concat-input convs; 'scatter' repacks weights by source
     (models.rrdbnet.repack_scatter; identical math, different MXU shape);
     'pallas' packs for the fused TPU kernel (ops.rdb_kernel; identical
     math, ~2.2x the XLA conv throughput on v5e, single-device TPU only).
+
+    ``op_dtype``: conv/matmul operand dtype (default = storage_dtype).
+    storage f32 + op bf16 = mixed mode (f32 carried state, bf16 MXU
+    operands — models.rrdbnet docstring). The generic-graph fallback has
+    no f32-carry formulation; it computes at op_dtype like before.
     """
     graph = parse_param_file(param_path)
     weights = convert_weights_nhwc(load_weights(graph, bin_path))
+    op_dtype = jnp.dtype(op_dtype) if op_dtype is not None else jnp.dtype(storage_dtype)
 
     match = match_rrdbnet(graph) if allow_fast_path else None
     if match is not None:
@@ -76,17 +83,18 @@ def load_model(
 
             params = dict(params)
             params["rdb"] = pack_rdb_params(
-                repack_scatter(params)["rdb"], dtype=storage_dtype
+                repack_scatter(params)["rdb"], dtype=op_dtype
             )
 
         def forward(p, x):
             return rrdbnet_forward(
-                p, x, spec, storage_dtype=storage_dtype, variant=variant
+                p, x, spec, storage_dtype=storage_dtype, variant=variant,
+                op_dtype=op_dtype,
             )
 
         return ModelBundle(forward, params, spec.scale, spec, graph)
 
-    generic = build_forward(graph, storage_dtype=storage_dtype)
+    generic = build_forward(graph, storage_dtype=op_dtype)
 
     def forward(p, x):
         return generic(p, x).astype(jnp.float32)

@@ -33,6 +33,22 @@ from realsr_tpu.ops.resize import nearest_x2
 LRELU_SLOPE = 0.2
 RESIDUAL_SCALE = 0.2
 
+# Drive the 3 RDBs inside each RRDB with an inner lax.scan instead of
+# unrolling: ONE pallas_call instance in the traced program means ONE
+# Mosaic kernel binary in the compiled executable instead of three. The
+# executable shrinks ~3x, which matters because warm starts must ship it
+# to the PJRT server (BASELINE.md: 123-249MB cache entries through a
+# ~13MB/s tunnel dominate warm-start latency). Module-level so experiments
+# can A/B at trace time.
+RDB_INNER_SCAN = True
+
+# In mixed mode, carry the TAIL's activations (upsampler at 2x/4x
+# resolution) at the operand dtype instead of f32: the tail is 4 convs
+# deep, so storage rounding there cannot accumulate the way the 69-RDB
+# trunk chain does, while its activations are 16x the tile area — the f32
+# carry made the tail bandwidth-bound. Module-level for A/B.
+MIXED_TAIL_OP_STORAGE = True
+
 
 @dataclasses.dataclass(frozen=True)
 class RRDBNetSpec:
@@ -241,16 +257,23 @@ def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
     Hp = BLK * nblk
     t0 = RK.to_flat(fea, WB, Hp)
 
+    def one_rdb(cur, pj):
+        y = RK.rdb_apply(
+            cur, pj, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
+            db=RK.COLS_DB, op_dtype=kernel_od,
+        )
+        return RK.re_apron(y, WB)
+
     def rrdb_body(t, block_p):
         u_center = t[:, :, 5 * WB : 5 * WB + Hp * WB]
-        cur = t
-        for j in range(spec.num_rdb_per_rrdb):
-            pj = jax.tree.map(lambda a: a[j], block_p)
-            y = RK.rdb_apply(
-                cur, pj, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
-                db=RK.COLS_DB, op_dtype=kernel_od,
+        if RDB_INNER_SCAN:
+            cur, _ = jax.lax.scan(
+                lambda c, pj: (one_rdb(c, pj), None), t, block_p
             )
-            cur = RK.re_apron(y, WB)
+        else:
+            cur = t
+            for j in range(spec.num_rdb_per_rrdb):
+                cur = one_rdb(cur, jax.tree.map(lambda a: a[j], block_p))
         y3 = cur[:, :, 5 * WB : 5 * WB + Hp * WB]
         out = (
             RESIDUAL_SCALE * y3.astype(jnp.float32) + u_center.astype(jnp.float32)
@@ -260,14 +283,17 @@ def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
     tf, _ = jax.lax.scan(rrdb_body, t0, params["rdb"])
     body = RK.from_flat(tf[:, :, 5 * WB : 5 * WB + Hp * WB], H, W, WB)
 
+    tail_dt = (
+        od if (kernel_od is not None and MIXED_TAIL_OP_STORAGE) else storage_dtype
+    )
     trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"], None, od)
-    fea = (fea.astype(jnp.float32) + trunk).astype(storage_dtype)
+    fea = (fea.astype(jnp.float32) + trunk).astype(tail_dt)
     for s in range(spec.num_upsample):
         up = jax.tree.map(lambda a: a[s], params["up"])
-        fea = _upconv_x2(fea, up["w"], up["b"], od).astype(storage_dtype)
+        fea = _upconv_x2(fea, up["w"], up["b"], od).astype(tail_dt)
     fea = _conv3x3(
         fea, params["hr"]["w"], params["hr"]["b"], LRELU_SLOPE, od
-    ).astype(storage_dtype)
+    ).astype(tail_dt)
     return _conv3x3(fea, params["last"]["w"], params["last"]["b"], None, od)
 
 
@@ -277,6 +303,7 @@ def rrdbnet_forward(
     spec: RRDBNetSpec,
     storage_dtype=jnp.float32,
     variant: str = "dense",
+    op_dtype=None,
 ) -> jnp.ndarray:
     """Forward pass: normalized NHWC f32 in [0,1] -> NHWC f32 (pre-denorm).
 
@@ -294,12 +321,18 @@ def rrdbnet_forward(
     'scatter' = source-regrouped convs (identical math, see _rdb_scatter);
     'pallas' = fused whole-block TPU kernel (ops.rdb_kernel; same math,
     ~2.2x the XLA conv throughput on v5e; rdb params must be kernel-packed).
+
+    ``op_dtype``: matmul/conv operand dtype, default = storage_dtype.
+    Setting storage f32 + op bf16 is the MIXED mode: the carried state
+    never rounds (no accumulated error across 69 RDBs), only conv operands
+    quantize — one config with parity-grade numerics at MXU speed.
     """
     if variant == "pallas":
-        return _forward_pallas(params, x, spec, storage_dtype)
+        return _forward_pallas(params, x, spec, storage_dtype, op_dtype)
 
+    od = op_dtype
     x = x.astype(storage_dtype)
-    fea = _conv3x3(x, params["conv_first"]["w"], params["conv_first"]["b"])
+    fea = _conv3x3(x, params["conv_first"]["w"], params["conv_first"]["b"], None, od)
     fea = fea.astype(storage_dtype)
 
     num_rdb = spec.num_rdb_per_rrdb
@@ -309,7 +342,7 @@ def rrdbnet_forward(
         u = t
         for j in range(num_rdb):
             pj = jax.tree.map(lambda a: a[j], block_p)
-            t = rdb_fn(t, pj, storage_dtype)
+            t = rdb_fn(t, pj, storage_dtype, od)
         t = (
             RESIDUAL_SCALE * t.astype(jnp.float32) + u.astype(jnp.float32)
         ).astype(storage_dtype)
@@ -317,7 +350,7 @@ def rrdbnet_forward(
 
     body, _ = jax.lax.scan(rrdb_body, fea, params["rdb"])
 
-    trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"])
+    trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"], None, od)
     fea = (fea.astype(jnp.float32) + trunk).astype(storage_dtype)
 
     # NOTE: an exact low-res reformulation of nearest-x2+conv (4 phase convs
@@ -328,12 +361,12 @@ def rrdbnet_forward(
     for s in range(spec.num_upsample):
         up = jax.tree.map(lambda a: a[s], params["up"])
         fea = nearest_x2(fea)
-        fea = _conv3x3(fea, up["w"], up["b"], LRELU_SLOPE).astype(storage_dtype)
+        fea = _conv3x3(fea, up["w"], up["b"], LRELU_SLOPE, od).astype(storage_dtype)
 
-    fea = _conv3x3(fea, params["hr"]["w"], params["hr"]["b"], LRELU_SLOPE).astype(
-        storage_dtype
-    )
-    out = _conv3x3(fea, params["last"]["w"], params["last"]["b"])
+    fea = _conv3x3(
+        fea, params["hr"]["w"], params["hr"]["b"], LRELU_SLOPE, od
+    ).astype(storage_dtype)
+    out = _conv3x3(fea, params["last"]["w"], params["last"]["b"], None, od)
     return out  # f32
 
 

@@ -161,9 +161,27 @@ def make_rrdbnet_param_text(spec: RRDBNetSpec) -> str:
 
 
 def synth_weights(
-    graph: ParamGraph, seed: int = 0, scale: float = 0.05
+    graph: ParamGraph, seed: int = 0, scale: float = 0.05, stats: str = "iid"
 ) -> Dict[str, Dict[str, np.ndarray]]:
-    """Deterministic random OIHW weights for every Convolution in the graph."""
+    """Deterministic random OIHW weights for every Convolution in the graph.
+
+    ``stats``:
+    - ``"iid"`` — N(0, scale) for every conv (historical default; with
+      scale=0.05 each 9*cin-fan-in conv has output gain 9*cin*scale^2 >> 1,
+      so activations AMPLIFY through the 23-block chain and storage-
+      precision noise with them — a worst case for numerics measurements).
+    - ``"trained"`` — surrogate of trained ESRGAN/RealSR statistics: He
+      fan-in scaling sigma = 1/sqrt(9*cin) (upstream RRDBNet initializes
+      MSRA x0.1 and training keeps interior conv std well below the
+      amplifying regime) with heavy-tailed per-output-filter norms
+      (lognormal, matching the filter-norm spread of trained conv nets)
+      renormalized to preserve expected power, and small biases. Output
+      gain per conv is ~<=1, so the chain is non-amplifying like the real
+      checkpoints; used to bound the PSNR a given storage mode would show
+      on real weights (goldens/README.md table).
+    """
+    if stats not in ("iid", "trained"):
+        raise ValueError(f"unknown stats mode {stats!r}")
     rng = np.random.default_rng(seed)
     out: Dict[str, Dict[str, np.ndarray]] = {}
     for layer in graph.layers:
@@ -183,13 +201,24 @@ def synth_weights(
         kh = layer.pi(11, kw)
         wsize = layer.pi(6)
         cin = wsize // (cout * kh * kw)
-        rec = {
-            "weight": rng.normal(0, scale, size=(cout, cin, kh, kw)).astype(
+        if stats == "trained":
+            sigma = 1.0 / np.sqrt(kh * kw * cin)
+            w = rng.normal(0, sigma, size=(cout, cin, kh, kw))
+            fnorm = rng.lognormal(0.0, 0.4, size=(cout, 1, 1, 1))
+            w = w * (fnorm / np.sqrt(np.mean(fnorm**2)))
+            rec = {"weight": w.astype(np.float32)}
+            bias_scale = 0.005
+        else:
+            rec = {
+                "weight": rng.normal(
+                    0, scale, size=(cout, cin, kh, kw)
+                ).astype(np.float32)
+            }
+            bias_scale = 0.01
+        if layer.pi(5):
+            rec["bias"] = rng.normal(0, bias_scale, size=(cout,)).astype(
                 np.float32
             )
-        }
-        if layer.pi(5):
-            rec["bias"] = rng.normal(0, 0.01, size=(cout,)).astype(np.float32)
         out[layer.name] = rec
     return out
 

@@ -410,3 +410,21 @@ def test_auto_batch_budget_derivation():
     small = _auto_batch(1024, False, budget_bytes=512 * 1024 * 1024)
     assert small <= _auto_batch(1024, False) and small >= 1
     assert _auto_batch(256, True) == 1  # TTA divides the granule by 8
+
+
+def test_mixed_storage_mode(tiny_model_dir, rng):
+    """storage='mixed' (f32 carry / bf16 operands — the accelerator
+    default): runs end-to-end and stays close to the all-f32 engine."""
+    import jax.numpy as jnp
+
+    e32 = RealSR(gpuid=-1, config=EngineConfig(tilesize=16, storage="float32"))
+    e32.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    em = RealSR(gpuid=-1, config=EngineConfig(tilesize=16, storage="mixed"))
+    em.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    assert em.storage_dtype == jnp.float32 and em.op_dtype == jnp.bfloat16
+    img = rng.integers(0, 256, (24, 20, 3), np.uint8)
+    a = e32.process(img)
+    b = em.process(img)
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.max() <= 3, diff.max()  # bf16 operand noise only
+    assert (diff > 1).mean() < 0.01

@@ -107,3 +107,40 @@ def test_loader_scatter_variant(tmp_path):
         )
         outs.append(np.asarray(jax.jit(b.forward)(b.params, x)))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-5)
+
+
+def test_mixed_mode_psnr_ordering_trained_stats():
+    """Measured numerics contract (goldens/README.md table): on
+    non-amplifying (trained-statistics) weights, the mixed mode tracks f32
+    at parity grade and beats the all-bf16 legacy mode. CPU dense-variant
+    version of the TPU psnr_matrix measurement."""
+    import jax.numpy as jnp
+
+    from realsr_tpu.graph.rrdb_match import extract_stacked_params, match_rrdbnet
+    from realsr_tpu.graph.executor import convert_weights_nhwc
+    from realsr_tpu.models.rrdbnet import RRDBNetSpec, rrdbnet_forward
+    from realsr_tpu.ncnn.param import parse_param
+    from realsr_tpu.ncnn.synth import make_rrdbnet_param_text, synth_weights
+
+    spec = RRDBNetSpec(num_rrdb=6, nf=32, gc=16)
+    graph = parse_param(make_rrdbnet_param_text(spec))
+    weights = convert_weights_nhwc(synth_weights(graph, seed=2, stats="trained"))
+    params = extract_stacked_params(match_rrdbnet(graph), weights)
+    x = np.random.default_rng(4).random((1, 40, 40, 3)).astype(np.float32)
+
+    def run(storage, op=None):
+        return np.asarray(
+            rrdbnet_forward(params, x, spec, storage_dtype=storage, op_dtype=op)
+        )
+
+    ref = run(jnp.float32)
+
+    def psnr(a):
+        mse = np.mean((a - ref) ** 2)
+        peak = ref.max() - ref.min()
+        return 10 * np.log10(peak**2 / mse)
+
+    p_mixed = psnr(run(jnp.float32, jnp.bfloat16))
+    p_bf16 = psnr(run(jnp.bfloat16))
+    assert p_mixed > 45, p_mixed
+    assert p_mixed > p_bf16, (p_mixed, p_bf16)

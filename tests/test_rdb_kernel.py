@@ -123,3 +123,68 @@ def test_upconv_x2_equals_nearest_plus_conv():
     ref = _lrelu(_conv3x3(nearest_x2(x), w, b, None))
     got = _upconv_x2(x, w, b)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
+def test_forward_pallas_mixed_mode_close_to_f32():
+    """Mixed mode (f32 carried state, bf16 operands — VERDICT r2 #1's one
+    config): the pallas-variant forward in interpret mode must track the
+    all-f32 reference to bf16 OPERAND noise only (no state accumulation),
+    and strictly better than the all-bf16 legacy mode on the same input."""
+    from realsr_tpu.models.rrdbnet import (
+        RRDBNetSpec,
+        init_rrdbnet_params,
+        repack_scatter,
+        rrdbnet_forward,
+    )
+
+    spec = RRDBNetSpec(num_rrdb=2, nf=16, gc=8)
+    p = init_rrdbnet_params(spec, seed=7)
+
+    def packed(dtype):
+        pp = dict(p)
+        pp["rdb"] = jax.tree.map(
+            np.asarray, K.pack_rdb_params(repack_scatter(p)["rdb"], dtype=dtype)
+        )
+        return pp
+
+    x = np.random.default_rng(8).random((1, 12, 10, 3)).astype(np.float32)
+    ref = np.asarray(rrdbnet_forward(p, x, spec, storage_dtype=jnp.float32))
+    import functools
+
+    orig_rdb = K.rdb_apply
+    K.rdb_apply = functools.partial(orig_rdb, interpret=True)
+    try:
+        mixed = np.asarray(rrdbnet_forward(
+            packed(jnp.bfloat16), x, spec, storage_dtype=jnp.float32,
+            variant="pallas", op_dtype=jnp.bfloat16,
+        ))
+        legacy = np.asarray(rrdbnet_forward(
+            packed(jnp.bfloat16), x, spec, storage_dtype=jnp.bfloat16,
+            variant="pallas",
+        ))
+    finally:
+        K.rdb_apply = orig_rdb
+    err_mixed = np.abs(mixed - ref).max()
+    err_legacy = np.abs(legacy - ref).max()
+    assert err_mixed < 0.02, err_mixed
+    assert err_mixed < err_legacy, (err_mixed, err_legacy)
+
+
+def test_dense_mixed_mode_close_to_f32():
+    """Mixed mode on the XLA conv path (dense variant)."""
+    from realsr_tpu.models.rrdbnet import (
+        RRDBNetSpec,
+        init_rrdbnet_params,
+        rrdbnet_forward,
+    )
+
+    spec = RRDBNetSpec(num_rrdb=2, nf=16, gc=8)
+    p = init_rrdbnet_params(spec, seed=7)
+    x = np.random.default_rng(8).random((1, 12, 10, 3)).astype(np.float32)
+    ref = np.asarray(rrdbnet_forward(p, x, spec, storage_dtype=jnp.float32))
+    mixed = np.asarray(rrdbnet_forward(
+        p, x, spec, storage_dtype=jnp.float32, op_dtype=jnp.bfloat16
+    ))
+    legacy = np.asarray(rrdbnet_forward(p, x, spec, storage_dtype=jnp.bfloat16))
+    assert np.abs(mixed - ref).max() < 0.02
+    assert np.abs(mixed - ref).max() < np.abs(legacy - ref).max()
