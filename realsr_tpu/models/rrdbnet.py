@@ -42,12 +42,14 @@ RESIDUAL_SCALE = 0.2
 # can A/B at trace time.
 RDB_INNER_SCAN = True
 
-# In mixed mode, carry the TAIL's activations (upsampler at 2x/4x
-# resolution) at the operand dtype instead of f32: the tail is 4 convs
-# deep, so storage rounding there cannot accumulate the way the 69-RDB
-# trunk chain does, while its activations are 16x the tile area — the f32
-# carry made the tail bandwidth-bound. Module-level for A/B.
-MIXED_TAIL_OP_STORAGE = True
+# In mixed mode, optionally carry the TAIL's activations (upsampler at
+# 2x/4x resolution) at the operand dtype instead of f32. Measured on v5e
+# (2026-08-17, same-process A/B at the production chunk): IDENTICAL
+# throughput (22.4 vs 22.3 MP/s) and identical PSNR to 2 decimals on both
+# weight classes — the tail is conv-compute-bound, not bandwidth-bound,
+# so the f32 tail costs nothing. Default False (strictly less rounding);
+# module-level for re-measurement.
+MIXED_TAIL_OP_STORAGE = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -253,7 +255,7 @@ def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
     B, H, W, nf = fea.shape
     gc = spec.gc
     WB = RK.round_wb(W)
-    BLK, nblk = RK.plan_rows(H)
+    BLK, nblk = RK.plan_rows(H, wb=WB)
     Hp = BLK * nblk
     t0 = RK.to_flat(fea, WB, Hp)
 

@@ -63,7 +63,14 @@ def round_wb(w: int) -> int:
     return -(-(w + 2) // 32) * 32
 
 
-def plan_rows(h: int, target_blk: int = 0):
+# the v5e sweet spot for the per-grid-step working set: FLAT = (BLK+10)*WB
+# lanes — the tuned production config (BLK 92 at WB 288) sits here, and
+# VMEM scales with it (xg/px/accumulators are all [*, ~FLAT]), so wider
+# tiles must shrink BLK to keep the same footprint.
+_FLAT_TARGET = 102 * 288
+
+
+def plan_rows(h: int, target_blk: int = 0, wb: int = 0):
     """(BLK, nblk): row-block size (multiple of 4) and count;
     Hp = BLK*nblk >= h.
 
@@ -72,9 +79,16 @@ def plan_rows(h: int, target_blk: int = 0):
     BLK 52 (76 regresses, 148 ties), H=212 best at BLK 108 (vs 72/56:
     71/67/63 TF/s), H=276 best at BLK 92 (vs 96/56/120: 78/76/72/63).
     target 108 maps H>=200 onto those winners (212->108, 276->92); smaller
-    tiles keep ~52. Explicit ``target_blk`` overrides (used by tests)."""
+    tiles keep ~52. When ``wb`` (lanes per row) is given, the target is
+    additionally capped so FLAT stays at the tuned working-set size
+    (_FLAT_TARGET) — this reproduces every tuned winner (288->92,
+    224->108∧121, 160->56∧173) AND keeps VMEM bounded for wider tiles
+    (e.g. WB 544 -> BLK 44). Explicit ``target_blk`` overrides (tests)."""
     if not target_blk:
         target_blk = 108 if h >= 200 else 56
+        if wb:
+            flat_blk = max(8, (_FLAT_TARGET // wb - 10) // 4 * 4)
+            target_blk = min(target_blk, flat_blk)
     nblk = max(1, -(-h // target_blk))
     blk = -(-(-(-h // nblk)) // 4) * 4
     return blk, nblk
@@ -137,13 +151,16 @@ def _rdb_kernel(
 
     # Mixed precision (f32 carry / lower-precision matmul operands): the
     # chain state lives in HBM at xg's dtype (f32) so the 69 chained RDB
-    # round-trips never round it; the matmuls read a one-time cast copy.
-    # When xb is the dummy tile (same-dtype mode) the operands are xg
-    # itself — bit-identical to the single-dtype kernel.
-    mixed = xb.shape == xg.shape
-    if mixed:
+    # round-trips never round it. Two operand-cast strategies, A/B'd on
+    # hardware: a one-time cast copy into xb (when xb is allocated at
+    # xg's shape), or cast-in-store — the stage() tap stores convert while
+    # writing into the cols scratch (no extra buffer, no extra VPU pass).
+    # When xb is the dummy tile the operands come from xg directly; with
+    # equal dtypes everything is bit-identical to the single-dtype kernel.
+    mixed_copy = xb.shape == xg.shape
+    if mixed_copy:
         xb[...] = xg[...].astype(xb.dtype)
-    xop = xb if mixed else xg
+    xop = xb if mixed_copy else xg
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT), 1)
     trow = r * BLK + ids // WB - 5  # buffer row -> tile row
@@ -174,7 +191,7 @@ def _rdb_kernel(
             for t, o in enumerate(offs):
                 buf[t * cin : (t + 1) * cin, :] = tg[
                     0:cin, _G + f0 + o : _G + f0 + o + ch
-                ]
+                ].astype(buf.dtype)
             outs.append(
                 jax.lax.dot_general(
                     wj,
@@ -183,9 +200,11 @@ def _rdb_kernel(
                     preferred_element_type=jnp.float32,
                     # bf16 operands: native MXU mode. f32 operands (CPU
                     # interpret tests): force true f32 like models.rrdbnet.
+                    # The cols buffer's dtype IS the operand dtype (the tap
+                    # stores cast into it).
                     precision=(
                         jax.lax.Precision.HIGHEST
-                        if tg.dtype == jnp.float32
+                        if buf.dtype == jnp.float32
                         else jax.lax.Precision.DEFAULT
                     ),
                 )
@@ -202,7 +221,7 @@ def _rdb_kernel(
     # bias-seeded f32 accumulators a2..a5 so only ONE stage output [n,FLAT]
     # is ever live alongside the (shrinking) accumulator set — peak VMEM
     # stays under the 16MB scoped limit at BLK=40.
-    dt = xop.dtype
+    dt = cols_ref.dtype  # operand dtype (c1..c4 live at it)
     px = stage(xop, w0[:])  # [4gc+nf, FLAT] f32
     c1 = jnp.where(valid, _lrelu(px[0:gc] + b1[:]), 0.0).astype(dt)
     a2 = px[gc : 2 * gc] + b2[:]
@@ -232,7 +251,7 @@ def _rdb_kernel(
     jax.jit,
     static_argnames=(
         "H", "W", "WB", "BLK", "nblk", "nf", "gc", "ch", "db", "op_dtype",
-        "interpret",
+        "cis", "interpret",
     ),
 )
 def rdb_apply(
@@ -249,6 +268,7 @@ def rdb_apply(
     ch: int = _CH,
     db: bool = True,
     op_dtype=None,
+    cis: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One fused RDB on the flat transposed layout -> [B, nf, Hp*WB].
@@ -261,6 +281,10 @@ def rdb_apply(
     fork), while the MXU matmuls read a one-time bf16 cast (native mode).
     The reference's analog is fp16-storage/fp32-arithmetic at full speed
     (src/realsr.cpp:43-47); this mode rounds strictly less than that.
+
+    ``cis`` (cast-in-store, mixed mode only): True = the stage tap stores
+    cast f32->op while writing the cols scratch (no operand-copy buffer);
+    False = a one-time cast pass into a dedicated operand copy. A/B knob.
     """
     B = x_flat.shape[0]
     R0 = BLK + 10
@@ -268,7 +292,7 @@ def rdb_apply(
     _G = _guard_lanes(WB)
     padf = -(-FLAT // ch) * ch
     op = jnp.dtype(op_dtype) if op_dtype is not None else x_flat.dtype
-    mixed = op != x_flat.dtype
+    mixed = op != x_flat.dtype and not cis  # xb copy only without cast-in-store
     kernel = functools.partial(
         _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nf=nf, gc=gc, ch=ch, db=db
     )
