@@ -36,6 +36,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 NORTH_STAR_OUT_MPS = 11.9
 
 
+def _precision_tag(eng) -> str:
+    import numpy as np
+
+    st = np.dtype(eng.storage_dtype).name
+    op = np.dtype(getattr(eng, "op_dtype", eng.storage_dtype)).name
+    return st if st == op else f"mixed {st}-state/{op}-ops"
+
+
 def main() -> int:
     import numpy as np
 
@@ -115,6 +123,7 @@ def main() -> int:
     # (goldens/README.md). bf16 measures ~32 dB with synthetic random
     # weights (storage-noise amplification); fp16 ~49.6 dB (tests).
     psnr_db = None
+    psnr_trained_db = None
     if os.environ.get("REALSR_BENCH_PSNR", "1") != "0":
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(
@@ -131,6 +140,25 @@ def main() -> int:
                 psnr_db = round(_psnr(golden, e2.process(G.golden_input())), 2)
         except Exception as e:  # never fail the bench on the PSNR probe
             print(f"psnr probe failed: {e}", file=sys.stderr)
+        try:
+            # the committed golden's iid N(0,0.05) weights are the
+            # amplifying worst case (goldens/README.md table); also probe
+            # the trained-statistics class — the bound for real weights
+            import psnr_matrix as PM
+
+            td = PM.model_dir("trained", 0)
+            img0 = G.golden_input()
+            ef = RealSR(
+                gpuid=0, config=EngineConfig(tilesize=G.TILESIZE, storage="float32")
+            )
+            ef.load(td + "/x4.param", td + "/x4.bin")
+            ea = RealSR(gpuid=0, config=EngineConfig(tilesize=G.TILESIZE))
+            ea.load(td + "/x4.param", td + "/x4.bin")
+            psnr_trained_db = round(
+                _psnr(ef.process(img0), ea.process(img0)), 2
+            )
+        except Exception as e:
+            print(f"trained-stats psnr probe failed: {e}", file=sys.stderr)
 
     out_mp = out.shape[0] * out.shape[1] / 1e6
     mps = out_mp / dt
@@ -139,7 +167,7 @@ def main() -> int:
             {
                 "metric": "4x upscale output megapixels/sec/chip (DF2K, "
                 f"tile={eng.last_tilesize}, {size}x{size} input, "
-                f"{str(np.dtype(eng.storage_dtype).name)}, device-resident "
+                f"{_precision_tag(eng)}, device-resident "
                 "compute incl. H2D/preproc/merge; final D2H reported as "
                 "d2h_s — overlapped with next image's compute by the "
                 "pipeline)",
@@ -151,6 +179,11 @@ def main() -> int:
                 "new_cache_entries": new_entries,
                 "d2h_s": round(d2h_s, 2),
                 "psnr_db_vs_f32_golden": psnr_db,
+                "psnr_db_trained_stats": psnr_trained_db,
+                # warm start on THIS host is bounded by shipping ~110MB
+                # executables through the tunnel (measured 0.3-15 MB/s;
+                # BASELINE.md round-3 warm-start diagnosis) — local-PJRT
+                # production hosts deserialize the same cache in <1s
                 "reps": reps,
                 # shared-host noise context: per-rep wall times behind the
                 # median (BASELINE.md: absolute throughput swings 30-60%

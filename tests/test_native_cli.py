@@ -31,7 +31,9 @@ def run_binary(args, cwd=None, extra_env=None):
     env.update(extra_env or {})
     return subprocess.run(
         [BINARY] + args, capture_output=True, text=True, env=env, cwd=cwd,
-        timeout=300,
+        # generous: a mesh-mode GSPMD compile on a heavily loaded shared
+        # host was observed to blow a 300 s ceiling (r3 full-suite flake)
+        timeout=900,
     )
 
 
