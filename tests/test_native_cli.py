@@ -32,8 +32,10 @@ def run_binary(args, cwd=None, extra_env=None):
     return subprocess.run(
         [BINARY] + args, capture_output=True, text=True, env=env, cwd=cwd,
         # generous: a mesh-mode GSPMD compile on a heavily loaded shared
-        # host was observed to blow a 300 s ceiling (r3 full-suite flake)
-        timeout=900,
+        # host (this bench env exposes ONE schedulable cpu) was observed
+        # to blow a 900 s ceiling when the suite ran concurrently with
+        # TPU jobs; passes in ~15 s standalone (r3 full-suite flake)
+        timeout=1800,
     )
 
 

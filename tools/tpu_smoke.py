@@ -85,11 +85,14 @@ def main() -> int:
         golden = np.asarray(Image.open(gpath))
         out = eng.process(G.golden_input())
         db = psnr(golden, out)
-        # goldens/README.md bands: bf16 ~32 dB (synthetic-weight storage
-        # noise), f16 ~49.6, f32 exact
-        floor = {"bfloat16": 28.0, "float16": 45.0, "float32": 60.0}[
-            np.dtype(eng.storage_dtype).name
-        ]
+        # goldens/README.md bands (iid golden weights): mixed ~37.1 dB,
+        # bf16 ~32, f16 ~49.6, f32 exact
+        st = np.dtype(eng.storage_dtype).name
+        op = np.dtype(eng.op_dtype).name
+        mode = st if st == op else "mixed"
+        floor = {
+            "mixed": 33.0, "bfloat16": 28.0, "float16": 45.0, "float32": 60.0,
+        }[mode]
         check("golden PSNR in band", db >= floor, f"({db:.2f} dB >= {floor})")
 
     if args.tta:
