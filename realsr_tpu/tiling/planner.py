@@ -103,10 +103,34 @@ _TILE_CANDIDATES = (128, 192, 256)
 _RATE_ANCHORS = ((148, 1.00), (212, 0.855), (276, 0.78))
 
 
+def _anchors():
+    """The cost-model anchors, overridable without editing code:
+    ``REALSR_TPU_RATE_ANCHORS="148:1.0,212:0.855,276:0.78"`` — the value
+    ``tools/calibrate_planner.py`` prints after an on-chip re-measurement
+    (its protocol notes why only within-process ratios are trustworthy on
+    a shared host). Falls back to the shipped table on any parse problem."""
+    import os
+
+    spec = os.environ.get("REALSR_TPU_RATE_ANCHORS", "")
+    if not spec:
+        return _RATE_ANCHORS
+    try:
+        pairs = tuple(
+            (int(s.split(":")[0]), float(s.split(":")[1]))
+            for s in spec.split(",")
+            if s.strip()
+        )
+        if pairs and all(p[1] > 0 for p in pairs):
+            return tuple(sorted(pairs))
+    except (ValueError, IndexError):
+        pass
+    return _RATE_ANCHORS
+
+
 def _px_rate(ph: int, pw: int) -> float:
     """Relative per-padded-pixel cost for a bucket, from its padded side."""
     side = (ph * pw) ** 0.5
-    (s0, r0), *rest = _RATE_ANCHORS
+    (s0, r0), *rest = _anchors()
     if side <= s0:
         return r0
     for s1, r1 in rest:

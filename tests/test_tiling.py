@@ -75,3 +75,17 @@ def test_pick_tilesize_mesh_rounding():
     # a small image (few tiles/bucket) pays more pad waste per bucket at
     # ndev=8; the model must at least produce a deterministic choice
     assert pick_tilesize(140, 140, 10, granule=8, ndev=8) in (128, 192, 256)
+
+
+def test_rate_anchor_env_override(monkeypatch):
+    """REALSR_TPU_RATE_ANCHORS applies a calibrate_planner re-measurement
+    without code edits; malformed values fall back to the shipped table."""
+    from realsr_tpu.tiling import planner
+
+    base = planner._px_rate(276, 276)
+    monkeypatch.setenv("REALSR_TPU_RATE_ANCHORS", "148:1.0,276:0.5")
+    assert planner._px_rate(276, 276) == 0.5
+    monkeypatch.setenv("REALSR_TPU_RATE_ANCHORS", "garbage")
+    assert planner._px_rate(276, 276) == base
+    monkeypatch.delenv("REALSR_TPU_RATE_ANCHORS")
+    assert planner._px_rate(276, 276) == base

@@ -73,6 +73,11 @@ def main() -> int:
     )
     print(f"max anchor drift: {drift:.3f} "
           f"({'OK, within noise' if drift < 0.08 else 'UPDATE the table'})")
+    if drift >= 0.08:
+        # apply without editing code: the planner reads this env override
+        # (tiling.planner._anchors)
+        val = ",".join(f"{s}:{r}" for s, r in anchors)
+        print(f"apply with: export REALSR_TPU_RATE_ANCHORS=\"{val}\"")
     return 0
 
 
