@@ -901,7 +901,13 @@ class RealSR:
             return self.process(image, progress_cb)
         sib = self._cpu_sibling
         if sib is None:
-            cfg = dataclasses.replace(self.config, tilesize=0)
+            # re-resolve backend-specific choices for the CPU: an explicit
+            # variant='pallas' (Mosaic, accelerator-only) must not leak in
+            cfg = dataclasses.replace(
+                self.config,
+                tilesize=0,
+                variant="auto" if self.config.variant == "pallas" else self.config.variant,
+            )
             sib = RealSR(
                 gpuid=-1,
                 tta_mode=self.tta_mode,

@@ -83,17 +83,17 @@ def resolve_model_files(
     base = os.path.basename(os.path.normpath(model))
     pname, bname = f"x{scale}.param", f"x{scale}.bin"
 
-    complete = incomplete = None
+    # first param-bearing dir wins, like the reference's CWD-then-exe-dir
+    # resolution (filesystem_utils.h:167-173) — a complete pair further
+    # down the chain never shadows an earlier user-provided graph
+    incomplete = None
     for d in _candidate_dirs(model):
-        has_p = os.path.isfile(os.path.join(d, pname))
-        has_b = os.path.isfile(os.path.join(d, bname))
-        if has_p and has_b:
-            complete = d
-            break
-        if has_p and incomplete is None:
-            incomplete = d
-    if complete is not None:
-        return (os.path.join(complete, pname), os.path.join(complete, bname))
+        if not os.path.isfile(os.path.join(d, pname)):
+            continue
+        if os.path.isfile(os.path.join(d, bname)):
+            return (os.path.join(d, pname), os.path.join(d, bname))
+        incomplete = d
+        break
 
     if not auto_synth or base not in _SYNTH_SEEDS:
         return None

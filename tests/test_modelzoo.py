@@ -105,3 +105,18 @@ def test_committed_graphs_parse():
         p = os.path.join(repo, "models", name, "x4.param")
         g = parse_param_file(p)
         assert g.layer_count == 999 and g.blob_count == 1782
+
+
+def test_first_param_dir_wins_over_later_complete(tmp_path, monkeypatch, capsys):
+    """First-match path semantics (filesystem_utils.h:167-173): a graph the
+    user put first in the chain is used (weights synthesized next to it)
+    even when a complete pair exists further down (e.g. a stale cache)."""
+    user = tmp_path / "models-DF2K"
+    make_model_dir(str(user), TINY_SPEC, seed=3)
+    os.remove(user / "x4.bin")
+    cache = tmp_path / "cache"
+    stale = cache / "models-DF2K"
+    make_model_dir(str(stale), TINY_SPEC, seed=9)
+    monkeypatch.setenv("REALSR_TPU_MODEL_CACHE", str(cache))
+    got = modelzoo.resolve_model_files(str(user))
+    assert got == (str(user / "x4.param"), str(user / "x4.bin"))
