@@ -42,6 +42,15 @@ RESIDUAL_SCALE = 0.2
 # can A/B at trace time.
 RDB_INNER_SCAN = True
 
+# Run the 69-RDB trunk in the kernel's resident-apron chained mode:
+# every RDB call reads and writes the same aproned flat layout and the
+# RRDB outer residual is folded into each 3rd call, so the trunk scan has
+# ZERO XLA ops between kernel calls (the per-RDB re_apron pad copy alone
+# is ~11% of trunk HBM traffic in mixed mode). Center output bit-identical
+# to the unchained composition; module-level for A/B. Default follows the
+# measured winner on v5e (BASELINE.md round-3 chained-trunk A/B).
+CHAINED_TRUNK = False
+
 # In mixed mode, optionally carry the TAIL's activations (upsampler at
 # 2x/4x resolution) at the operand dtype instead of f32. Measured on v5e
 # (2026-08-17, same-process A/B at the production chunk): IDENTICAL
@@ -229,6 +238,68 @@ def _upconv_x2(x, w, b, op_dtype=None):
     return _lrelu(y + b.astype(jnp.float32))
 
 
+def _upconv_x2_phase(x, w, b, op_dtype=None):
+    """``nearest-x2 upsample -> conv3x3 -> lrelu`` via PHASE decomposition:
+    one VALID 2x2 conv at INPUT resolution with the four 2x-output phases
+    as output-channel groups, then a shifted-slice interleave.
+
+    Each upsampled-conv output phase (a, b) reads only a 2x2 input
+    neighborhood through tap-sum kernels (row taps: a=0 -> (w0, w1+w2) on
+    x[i-1], x[i]; a=1 -> (w0+w1, w2) on x[i], x[i+1]; columns mirror).
+    vs the stride-2 transposed-conv form (_upconv_x2): 2.25x fewer MACs
+    (16 vs 36 tap-MACs per input px) and no lhs-dilation zero-insertion —
+    the MXU contracts a dense 2*2*cin axis. Exact to the last ulp incl.
+    the zero-pad borders (the conv's pad at 4x resolution maps to the
+    input pad here); verified in test_model_parity.
+    """
+    od = jnp.dtype(op_dtype) if op_dtype is not None else x.dtype
+    w = w.astype(jnp.float32)  # [3, 3, cin, cout]
+    cout = w.shape[3]
+    r0 = jnp.stack([w[0], w[1] + w[2]])  # [2, 3, cin, cout]: rows (i-1, i)
+    r1 = jnp.stack([w[0] + w[1], w[2]])  # rows (i, i+1)
+
+    def _cols(rw):
+        c0 = jnp.stack([rw[:, 0], rw[:, 1] + rw[:, 2]], axis=1)
+        c1 = jnp.stack([rw[:, 0] + rw[:, 1], rw[:, 2]], axis=1)
+        return c0, c1  # [2, 2, cin, cout] each
+
+    k00, k01 = _cols(r0)
+    k10, k11 = _cols(r1)
+    k = jnp.concatenate([k00, k01, k10, k11], axis=-1)  # [2, 2, cin, 4cout]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp.astype(od),
+        k.astype(od),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=_precision(od),
+    )  # [B, H+1, W+1, 4cout]; y[i, j] reads x[i-1..i, j-1..j]
+    B, Hp1, Wp1, _ = y.shape
+    H, W = Hp1 - 1, Wp1 - 1
+    p00 = y[:, :H, :W, 0 * cout : 1 * cout]
+    p01 = y[:, :H, 1:, 1 * cout : 2 * cout]
+    p10 = y[:, 1:, :W, 2 * cout : 3 * cout]
+    p11 = y[:, 1:, 1:, 3 * cout : 4 * cout]
+    z = jnp.stack(
+        [jnp.stack([p00, p01], axis=3), jnp.stack([p10, p11], axis=3)], axis=2
+    )  # [B, H, 2, W, 2, cout]; out[2i+a, 2j+b] = p_ab[i, j]
+    out = z.reshape(B, 2 * H, 2 * W, cout)
+    return _lrelu(out + b.astype(jnp.float32))
+
+
+# Upsampler formulation A/B (module-level like RDB_INNER_SCAN): phase
+# decomposition vs stride-2 transposed conv. Both exact vs the reference's
+# nearest+conv two-op form.
+UPCONV_PHASE = False
+
+
+def _upconv(x, w, b, op_dtype=None):
+    fn = _upconv_x2_phase if UPCONV_PHASE else _upconv_x2
+    return fn(x, w, b, op_dtype)
+
+
 def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
     """Forward with the 23-block trunk on the fused Pallas RDB kernel
     (ops.rdb_kernel) and the tail (trunk conv + upsampler + HR + last) as
@@ -257,33 +328,68 @@ def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
     WB = RK.round_wb(W)
     BLK, nblk = RK.plan_rows(H, wb=WB)
     Hp = BLK * nblk
-    t0 = RK.to_flat(fea, WB, Hp)
+    # chained mode runs on the TOP=8 layout (DMA offset alignment, see
+    # rdb_apply_chained); the unchained composition keeps the minimal
+    # TOP=5 apron.
+    top = 8 if CHAINED_TRUNK else 5
+    t0 = RK.to_flat(fea, WB, Hp, top=top)
 
-    def one_rdb(cur, pj):
-        y = RK.rdb_apply(
-            cur, pj, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
-            db=RK.COLS_DB, op_dtype=kernel_od,
-        )
-        return RK.re_apron(y, WB)
+    if CHAINED_TRUNK:
+        # flags: fold the RRDB outer residual into the last RDB of each
+        # block (x4.param Eltwise coeffs [0.2, 1.0]).
+        flags = jnp.zeros((spec.num_rdb_per_rrdb, 1), jnp.int32)
+        flags = flags.at[-1, 0].set(1)
 
-    def rrdb_body(t, block_p):
-        u_center = t[:, :, 5 * WB : 5 * WB + Hp * WB]
-        if RDB_INNER_SCAN:
-            cur, _ = jax.lax.scan(
-                lambda c, pj: (one_rdb(c, pj), None), t, block_p
+        def rrdb_body(t, block_p):
+            u = t  # RRDB entry state, closed over by the inner steps
+
+            def inner(c, xs):
+                pj, fl = xs
+                y = RK.rdb_apply_chained(
+                    c, pj, u, fl, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk,
+                    nf=nf, gc=gc, db=RK.COLS_DB, op_dtype=kernel_od,
+                )
+                return y, None
+
+            if RDB_INNER_SCAN:
+                cur, _ = jax.lax.scan(inner, t, (block_p, flags))
+            else:
+                cur = t
+                for j in range(spec.num_rdb_per_rrdb):
+                    cur, _ = inner(
+                        cur,
+                        (jax.tree.map(lambda a: a[j], block_p), flags[j]),
+                    )
+            return cur, None
+
+    else:
+
+        def one_rdb(cur, pj):
+            y = RK.rdb_apply(
+                cur, pj, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
+                db=RK.COLS_DB, op_dtype=kernel_od,
             )
-        else:
-            cur = t
-            for j in range(spec.num_rdb_per_rrdb):
-                cur = one_rdb(cur, jax.tree.map(lambda a: a[j], block_p))
-        y3 = cur[:, :, 5 * WB : 5 * WB + Hp * WB]
-        out = (
-            RESIDUAL_SCALE * y3.astype(jnp.float32) + u_center.astype(jnp.float32)
-        ).astype(storage_dtype)
-        return RK.re_apron(out, WB), None
+            return RK.re_apron(y, WB)
+
+        def rrdb_body(t, block_p):
+            u_center = t[:, :, 5 * WB : 5 * WB + Hp * WB]
+            if RDB_INNER_SCAN:
+                cur, _ = jax.lax.scan(
+                    lambda c, pj: (one_rdb(c, pj), None), t, block_p
+                )
+            else:
+                cur = t
+                for j in range(spec.num_rdb_per_rrdb):
+                    cur = one_rdb(cur, jax.tree.map(lambda a: a[j], block_p))
+            y3 = cur[:, :, 5 * WB : 5 * WB + Hp * WB]
+            out = (
+                RESIDUAL_SCALE * y3.astype(jnp.float32)
+                + u_center.astype(jnp.float32)
+            ).astype(storage_dtype)
+            return RK.re_apron(out, WB), None
 
     tf, _ = jax.lax.scan(rrdb_body, t0, params["rdb"])
-    body = RK.from_flat(tf[:, :, 5 * WB : 5 * WB + Hp * WB], H, W, WB)
+    body = RK.from_flat(tf[:, :, top * WB : (top + Hp) * WB], H, W, WB)
 
     tail_dt = (
         od if (kernel_od is not None and MIXED_TAIL_OP_STORAGE) else storage_dtype
@@ -292,7 +398,7 @@ def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
     fea = (fea.astype(jnp.float32) + trunk).astype(tail_dt)
     for s in range(spec.num_upsample):
         up = jax.tree.map(lambda a: a[s], params["up"])
-        fea = _upconv_x2(fea, up["w"], up["b"], od).astype(tail_dt)
+        fea = _upconv(fea, up["w"], up["b"], od).astype(tail_dt)
     fea = _conv3x3(
         fea, params["hr"]["w"], params["hr"]["b"], LRELU_SLOPE, od
     ).astype(tail_dt)

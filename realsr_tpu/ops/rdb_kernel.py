@@ -110,23 +110,36 @@ def _rdb_kernel(
     b3,
     b4,
     b5,
-    out_ref,
-    xg,
-    xb,
-    cols_ref,
-    cols2_ref,
-    sem,
-    *,
+    *rest,
     H: int,
     W: int,
     WB: int,
     BLK: int,
+    nblk: int = 1,
     nf: int,
     gc: int,
     ch: int = _CH,
     db: bool = True,
+    chained: bool = False,
 ):
-    R0 = BLK + 10
+    if chained:
+        # chained mode (see rdb_apply_chained): the output is the SAME
+        # aproned flat buffer shape as the input, written by a manual DMA
+        # at the apron offset — no XLA re_apron pad between chained calls.
+        (u_hbm, flag, out_ref, xg, xb, cols_ref, cols2_ref, yc, ug,
+         sem, sem_u, sem_o) = rest
+    else:
+        (out_ref, xg, xb, cols_ref, cols2_ref, sem) = rest
+    # TOP = layout apron rows above tile row 0. Unchained keeps the minimal
+    # 5-row halo apron. Chained uses EIGHT: Mosaic requires dynamic HBM
+    # slice offsets divisible by the 128-lane tiling, and the chained
+    # write/u-fetch offsets are (TOP + r*BLK)*WB — with WB a multiple of
+    # 32 and BLK of 4, r*BLK*WB is always aligned but 5*WB is not;
+    # 8*WB ≡ 0 (mod 256) restores alignment at the cost of 3 junk rows
+    # per window (the window still READS from the aligned r*BLK*WB, so
+    # its top 3 rows sit above the halo and are discarded by the masks).
+    TOP = 8 if chained else 5
+    R0 = BLK + 5 + TOP
     FLAT = R0 * WB
     _G = _guard_lanes(WB)
     nch = -(-FLAT // ch)
@@ -149,6 +162,43 @@ def _rdb_kernel(
     xg[:, _G + flatd :] = jnp.zeros((nf, xg.shape[1] - _G - flatd), xg.dtype)
     cp.wait()
 
+    if chained:
+        # The chained layout's apron rows hold garbage (the manual output
+        # DMA writes center rows only). Every intermediate activation is
+        # valid-masked to zero, so garbage can only reach a valid output
+        # through the RAW input taps, which span one row: tile rows -1 and
+        # H. Zero exactly those window rows in every block whose window
+        # contains them (windows overlap by 10 rows, so each can appear in
+        # more than one block when BLK < 10); all deeper apron garbage
+        # feeds activations the masks discard.
+        for trow in (-1, H):
+            for rr in range(nblk):
+                w_z = trow + TOP - rr * BLK
+                if 0 <= w_z < R0:
+
+                    @pl.when(r == rr)
+                    def _zero_row(w_z=w_z):
+                        xg[:, _G + w_z * WB : _G + (w_z + 1) * WB] = jnp.zeros(
+                            (nf, WB), xg.dtype
+                        )
+
+    if chained:
+        # Start the outer-residual u fetch NOW so it overlaps the stage
+        # compute below; the wait sits just before `outer` reads ug.
+        # Offset written as const + r*const (NOT (TOP + r*BLK)*WB):
+        # Mosaic's divisibility prover folds mul-chains but does not
+        # distribute a mul over an add, so the factored form is unprovable
+        # even though the value is identical; multiple_of records the
+        # alignment explicitly.
+        c_off = pl.multiple_of(TOP * WB + r * (BLK * WB), 128)
+        cp_u = pltpu.make_async_copy(
+            u_hbm.at[b, :, pl.ds(c_off, BLK * WB)], ug, sem_u
+        )
+
+        @pl.when(flag[0] == 1)
+        def _fetch_u_start():
+            cp_u.start()
+
     # Mixed precision (f32 carry / lower-precision matmul operands): the
     # chain state lives in HBM at xg's dtype (f32) so the 69 chained RDB
     # round-trips never round it. Two operand-cast strategies, A/B'd on
@@ -163,7 +213,7 @@ def _rdb_kernel(
     xop = xb if mixed_copy else xg
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT), 1)
-    trow = r * BLK + ids // WB - 5  # buffer row -> tile row
+    trow = r * BLK + ids // WB - TOP  # buffer row -> tile row
     col = ids % WB
     valid = (trow >= 0) & (trow < H) & (col >= 1) & (col <= W)
 
@@ -244,7 +294,45 @@ def _rdb_kernel(
     c5 = a5 + p4
     xc = xg[:, _G : _G + FLAT].astype(jnp.float32)
     y = jnp.where(valid, RESIDUAL_SCALE * c5 + xc, 0.0).astype(xg.dtype)
-    out_ref[0] = y[:, 5 * WB : (5 + BLK) * WB]
+    if not chained:
+        out_ref[0] = y[:, TOP * WB : (TOP + BLK) * WB]
+        return
+
+    # chained: optionally fold the RRDB outer residual 0.2*y3 + u (the
+    # x4.param Eltwise coeffs [0.2, 1.0]; cast ordering matches the XLA
+    # form in models.rrdbnet.rrdb_body bit-for-bit: y is already rounded
+    # to storage above), then DMA the center rows back at the apron
+    # offset so the next chained call reads the same layout.
+    center = y[:, TOP * WB : (TOP + BLK) * WB]
+
+    @pl.when(flag[0] == 1)
+    def _fetch_u_wait():
+        cp_u.wait()
+
+    outer = (
+        RESIDUAL_SCALE * center.astype(jnp.float32) + ug[...].astype(jnp.float32)
+    ).astype(xg.dtype)
+    # PIPELINED output write: wait for the PREVIOUS grid step's DMA out of
+    # yc only now (just before this store overwrites yc), so each block's
+    # write overlaps the next block's fetch+compute — a synchronous wait
+    # after start serialized the grid and made the whole chained mode a
+    # net loss (A/B r3: 0.971x vs unchained). The wait descriptor only
+    # needs the semaphore + byte count; every step's copy is identically
+    # shaped.
+    cp_o = pltpu.make_async_copy(
+        yc, out_ref.at[b, :, pl.ds(c_off, BLK * WB)], sem_o
+    )
+
+    @pl.when((b > 0) | (r > 0))
+    def _wait_prev_o():
+        cp_o.wait()
+
+    yc[...] = jnp.where(flag[0] == 1, outer, center)
+    cp_o.start()
+
+    @pl.when((b == pl.num_programs(0) - 1) & (r == nblk - 1))
+    def _final_drain():
+        cp_o.wait()
 
 
 @functools.partial(
@@ -294,7 +382,8 @@ def rdb_apply(
     op = jnp.dtype(op_dtype) if op_dtype is not None else x_flat.dtype
     mixed = op != x_flat.dtype and not cis  # xb copy only without cast-in-store
     kernel = functools.partial(
-        _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nf=nf, gc=gc, ch=ch, db=db
+        _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
+        ch=ch, db=db,
     )
     rep = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -331,6 +420,96 @@ def rdb_apply(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "WB", "BLK", "nblk", "nf", "gc", "ch", "db", "op_dtype",
+        "cis", "interpret",
+    ),
+)
+def rdb_apply_chained(
+    x_flat: jnp.ndarray,  # [B, nf, (Hp+13)*WB + 128], chained flat layout
+    kp: Dict[str, jnp.ndarray],
+    u_flat: jnp.ndarray,  # same shape: RRDB entry state (outer residual)
+    flag: jnp.ndarray,  # i32 [1]: 1 = fold the outer residual this call
+    *,
+    H: int,
+    W: int,
+    WB: int,
+    BLK: int,
+    nblk: int,
+    nf: int,
+    gc: int,
+    ch: int = _CH,
+    db: bool = True,
+    op_dtype=None,
+    cis: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused RDB, resident-apron chained mode -> SAME aproned shape.
+
+    :func:`rdb_apply` emits center rows only, so chained callers must
+    ``re_apron`` between calls — a full-buffer XLA pad copy per RDB that
+    costs ~11% of the trunk's HBM traffic in mixed (f32-carry) mode. The
+    chained form instead reads AND writes the persistent TOP=8 layout
+    ``[B, nf, (Hp+13)*WB + 128]`` (``to_flat(..., top=8)``; 8 apron rows
+    above tile row 0 keep every dynamic HBM slice offset 128-lane aligned,
+    see the TOP note in ``_rdb_kernel``): the kernel DMAs its center rows
+    back at the apron offset and tolerates garbage aprons (only tile rows
+    -1 and H can reach a valid output, via the raw-input taps; those are
+    zeroed in-kernel). ``flag`` folds the RRDB outer residual ``0.2*y + u``
+    (x4.param Eltwise coeffs) into the call, so the whole 69-RDB trunk
+    runs with ZERO XLA ops between kernel calls. The center output is
+    bit-identical to the rdb_apply + re_apron (+ XLA residual)
+    composition; apron contents are unspecified.
+    """
+    B = x_flat.shape[0]
+    R0 = BLK + 13
+    FLAT = R0 * WB
+    _G = _guard_lanes(WB)
+    padf = -(-FLAT // ch) * ch
+    op = jnp.dtype(op_dtype) if op_dtype is not None else x_flat.dtype
+    mixed = op != x_flat.dtype and not cis
+    kernel = functools.partial(
+        _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
+        ch=ch, db=db, chained=True,
+    )
+    rep = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nblk),
+        in_specs=[rep] + [vmem] * 10 + [rep, smem],
+        out_specs=rep,
+        out_shape=jax.ShapeDtypeStruct(x_flat.shape, x_flat.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nf, padf + 2 * _G), x_flat.dtype),
+            pltpu.VMEM((nf, padf + 2 * _G) if mixed else (8, 128), op),
+            pltpu.VMEM((9 * nf, ch), op),
+            pltpu.VMEM((9 * nf, ch) if db else (8, 128), op),
+            pltpu.VMEM((nf, BLK * WB), x_flat.dtype),  # yc: center out stage
+            pltpu.VMEM((nf, BLK * WB), x_flat.dtype),  # ug: outer-residual u
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the two chained-only staging buffers (yc + ug, nf*BLK*WB f32
+            # each) sit on top of the unchained kernel's ~97M peak; v5e has
+            # 128M physical VMEM (measured 104.3M demand at BLK=92/WB=288)
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x_flat,
+        kp["w0"], kp["w1"], kp["w2"], kp["w3"], kp["w4"],
+        kp["b1"], kp["b2"], kp["b3"], kp["b4"], kp["b5"],
+        u_flat, flag,
+    )
+    return out
+
+
 def pack_rdb_params(scatter_rdb: Dict[str, Any], dtype=jnp.bfloat16):
     """Scatter-layout stacked RDB params -> kernel format.
 
@@ -358,14 +537,16 @@ def pack_rdb_params(scatter_rdb: Dict[str, Any], dtype=jnp.bfloat16):
 # ---- layout transforms (XLA side) -----------------------------------------
 
 
-def to_flat(x_nhwc: jnp.ndarray, WB: int, Hp: int) -> jnp.ndarray:
-    """[B, H, W, C] -> aproned flat [B, C, (Hp+10)*WB] (data rows 5..5+H,
-    cols 1..W+1; zeros elsewhere)."""
+def to_flat(x_nhwc: jnp.ndarray, WB: int, Hp: int, top: int = 5) -> jnp.ndarray:
+    """[B, H, W, C] -> aproned flat [B, C, (Hp+top+5)*WB + 128] (data rows
+    top..top+H, cols 1..W+1; zeros elsewhere). ``top=5`` is rdb_apply's
+    minimal-halo layout; ``top=8`` is the chained layout (alignment, see
+    rdb_apply_chained)."""
     B, H, W, C = x_nhwc.shape
     x = jnp.transpose(x_nhwc, (0, 3, 1, 2))  # [B, C, H, W]
     x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (1, WB - W - 1)))
     x = x.reshape(B, C, Hp * WB)
-    return jnp.pad(x, ((0, 0), (0, 0), (5 * WB, 5 * WB + 128)))
+    return jnp.pad(x, ((0, 0), (0, 0), (top * WB, 5 * WB + 128)))
 
 
 def re_apron(x_flat: jnp.ndarray, WB: int) -> jnp.ndarray:

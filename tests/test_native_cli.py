@@ -162,6 +162,9 @@ def test_binary_mesh_mode_matches_single(tmp_path, rng, dl2k_model_dir):
     r = run_binary(["-i", str(inp), "-o", str(out2), "-m", dl2k_model_dir],
                    extra_env={"REALSR_TPU_MESH": "all"})
     assert r.returncode == 0, r.stderr
+    # the binary prints-and-continues on a per-image failure (exit 0, no
+    # output file) — surface its stderr instead of a bare PIL open error
+    assert out1.exists() and out2.exists(), r.stderr
     a = np.asarray(Image.open(out1)).astype(int)
     b = np.asarray(Image.open(out2)).astype(int)
     d = np.abs(a - b)

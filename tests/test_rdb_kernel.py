@@ -67,6 +67,49 @@ def test_kernel_chain_via_re_apron():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(y), atol=2e-5)
 
 
+@pytest.mark.parametrize("hw_tb", [(10, 13, 4), (8, 8, 8), (9, 11, 3)])
+def test_chained_mode_matches_rrdb_oracle(hw_tb):
+    """Resident-apron chained mode (rdb_apply_chained): two full RRDBs —
+    six chained calls with the outer residual folded into each third call
+    — must match the XLA scatter oracle. Exercises the garbage-apron
+    zeroing (tile rows -1 / H appear in multiple overlapping windows when
+    BLK < 10) and the fused ``0.2*y + u`` Eltwise (x4.param coeffs)."""
+    H, W, tb = hw_tb
+    nf, gc = 16, 8
+    p = _mk_params(nf, gc)
+    sp = R.repack_scatter({"rdb": p})["rdb"]
+    x = np.random.default_rng(1).random((2, H, W, nf)).astype(np.float32)
+
+    t = jnp.asarray(x)
+    for _ in range(2):
+        u = t
+        for _ in range(3):
+            t = R._rdb_scatter(t, sp, jnp.float32)
+        t = (0.2 * t.astype(jnp.float32) + u.astype(jnp.float32)).astype(
+            jnp.float32
+        )
+    ref = np.asarray(t)
+
+    WB = K.round_wb(W)
+    BLK, nblk = K.plan_rows(H, target_blk=tb)
+    kp = K.pack_rdb_params(sp, dtype=jnp.float32)
+    tf = K.to_flat(jnp.asarray(x), WB, BLK * nblk, top=8)
+    kw = dict(
+        H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc, interpret=True
+    )
+    f0 = jnp.zeros((1,), jnp.int32)
+    f1 = jnp.ones((1,), jnp.int32)
+    for _ in range(2):
+        u = tf
+        tf = K.rdb_apply_chained(tf, kp, u, f0, **kw)
+        tf = K.rdb_apply_chained(tf, kp, u, f0, **kw)
+        tf = K.rdb_apply_chained(tf, kp, u, f1, **kw)
+    y = np.asarray(
+        K.from_flat(tf[:, :, 8 * WB : (8 + BLK * nblk) * WB], H, W, WB)
+    )
+    np.testing.assert_allclose(ref, y, atol=5e-5)
+
+
 def test_flat_layout_roundtrip():
     x = np.random.default_rng(0).random((2, 7, 9, 4)).astype(np.float32)
     WB = K.round_wb(9)
@@ -98,13 +141,16 @@ def test_forward_pallas_variant_matches_dense():
     import functools
 
     orig_rdb = K.rdb_apply
+    orig_chained = K.rdb_apply_chained
     K.rdb_apply = functools.partial(orig_rdb, interpret=True)
+    K.rdb_apply_chained = functools.partial(orig_chained, interpret=True)
     try:
         got = rrdbnet_forward(
             pp, x, spec, storage_dtype=jnp.float32, variant="pallas"
         )
     finally:
         K.rdb_apply = orig_rdb
+        K.rdb_apply_chained = orig_chained
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-5
     )
@@ -122,6 +168,22 @@ def test_upconv_x2_equals_nearest_plus_conv():
     b = jnp.asarray(rng.normal(0, 0.1, (4,)).astype(np.float32))
     ref = _lrelu(_conv3x3(nearest_x2(x), w, b, None))
     got = _upconv_x2(x, w, b)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
+def test_upconv_phase_equals_nearest_plus_conv():
+    """The phase-decomposed upsampler (VALID 2x2 conv, four phase groups,
+    shifted-slice interleave) is ALSO the exact algebra of
+    nearest-x2 -> conv3x3 -> lrelu, including the zero-pad borders."""
+    from realsr_tpu.models.rrdbnet import _conv3x3, _lrelu, _upconv_x2_phase
+    from realsr_tpu.ops.resize import nearest_x2
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((2, 7, 9, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.3, (3, 3, 8, 4)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (4,)).astype(np.float32))
+    ref = _lrelu(_conv3x3(nearest_x2(x), w, b, None))
+    got = _upconv_x2_phase(x, w, b)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
 
 
@@ -152,7 +214,9 @@ def test_forward_pallas_mixed_mode_close_to_f32():
     import functools
 
     orig_rdb = K.rdb_apply
+    orig_chained = K.rdb_apply_chained
     K.rdb_apply = functools.partial(orig_rdb, interpret=True)
+    K.rdb_apply_chained = functools.partial(orig_chained, interpret=True)
     try:
         mixed = np.asarray(rrdbnet_forward(
             packed(jnp.bfloat16), x, spec, storage_dtype=jnp.float32,
@@ -164,6 +228,7 @@ def test_forward_pallas_mixed_mode_close_to_f32():
         ))
     finally:
         K.rdb_apply = orig_rdb
+        K.rdb_apply_chained = orig_chained
     err_mixed = np.abs(mixed - ref).max()
     err_legacy = np.abs(legacy - ref).max()
     assert err_mixed < 0.02, err_mixed
