@@ -103,26 +103,54 @@ _TILE_CANDIDATES = (128, 192, 256)
 _RATE_ANCHORS = ((148, 1.00), (212, 0.855), (276, 0.78))
 
 
+def _anchor_file() -> str:
+    """Install-local calibration file, written by
+    ``tools/calibrate_planner.py --save`` after an on-chip re-measurement.
+    Lives next to the persistent XLA compile cache so one env var
+    relocates both."""
+    import os
+
+    base = os.environ.get(
+        "REALSR_TPU_CACHE", os.path.expanduser("~/.cache/realsr_tpu_xla")
+    )
+    return os.path.join(base, "planner_anchors.json")
+
+
+def _parse_anchor_spec(spec: str):
+    pairs = tuple(
+        (int(s.split(":")[0]), float(s.split(":")[1]))
+        for s in spec.split(",")
+        if s.strip()
+    )
+    if pairs and all(p[1] > 0 for p in pairs):
+        return tuple(sorted(pairs))
+    return None
+
+
 def _anchors():
-    """The cost-model anchors, overridable without editing code:
-    ``REALSR_TPU_RATE_ANCHORS="148:1.0,212:0.855,276:0.78"`` — the value
-    ``tools/calibrate_planner.py`` prints after an on-chip re-measurement
-    (its protocol notes why only within-process ratios are trustworthy on
-    a shared host). Falls back to the shipped table on any parse problem."""
+    """The cost-model anchors, re-calibratable without editing code.
+    Priority: ``REALSR_TPU_RATE_ANCHORS="148:1.0,212:0.855,276:0.78"``
+    (the value ``tools/calibrate_planner.py`` prints; its protocol notes
+    why only within-process ratios are trustworthy on a shared host),
+    then the saved calibration file (``calibrate_planner.py --save``),
+    then the shipped table. Any parse problem falls through."""
+    import json
     import os
 
     spec = os.environ.get("REALSR_TPU_RATE_ANCHORS", "")
-    if not spec:
-        return _RATE_ANCHORS
+    if spec:
+        try:
+            got = _parse_anchor_spec(spec)
+            if got:
+                return got
+        except (ValueError, IndexError):
+            pass
     try:
-        pairs = tuple(
-            (int(s.split(":")[0]), float(s.split(":")[1]))
-            for s in spec.split(",")
-            if s.strip()
-        )
-        if pairs and all(p[1] > 0 for p in pairs):
-            return tuple(sorted(pairs))
-    except (ValueError, IndexError):
+        with open(_anchor_file()) as f:
+            got = _parse_anchor_spec(json.load(f)["anchors"])
+            if got:
+                return got
+    except (OSError, ValueError, KeyError, IndexError):
         pass
     return _RATE_ANCHORS
 

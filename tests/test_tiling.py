@@ -89,3 +89,28 @@ def test_rate_anchor_env_override(monkeypatch):
     assert planner._px_rate(276, 276) == base
     monkeypatch.delenv("REALSR_TPU_RATE_ANCHORS")
     assert planner._px_rate(276, 276) == base
+
+
+def test_rate_anchor_calibration_file(monkeypatch, tmp_path):
+    """calibrate_planner.py --save persists anchors install-locally; the
+    planner reads the file when the env override is absent, env wins when
+    both are set, and a corrupt file falls back to the shipped table."""
+    import json
+
+    from realsr_tpu.tiling import planner
+
+    monkeypatch.setenv("REALSR_TPU_CACHE", str(tmp_path))
+    monkeypatch.delenv("REALSR_TPU_RATE_ANCHORS", raising=False)
+    base = planner._px_rate(276, 276)
+
+    with open(planner._anchor_file(), "w") as f:
+        json.dump({"anchors": "148:1.0,276:0.6"}, f)
+    assert planner._px_rate(276, 276) == 0.6
+    # env override has priority over the saved file
+    monkeypatch.setenv("REALSR_TPU_RATE_ANCHORS", "148:1.0,276:0.4")
+    assert planner._px_rate(276, 276) == 0.4
+    monkeypatch.delenv("REALSR_TPU_RATE_ANCHORS")
+    # corrupt file -> shipped table
+    with open(planner._anchor_file(), "w") as f:
+        f.write("not json")
+    assert planner._px_rate(276, 276) == base

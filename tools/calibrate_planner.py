@@ -73,11 +73,23 @@ def main() -> int:
     )
     print(f"max anchor drift: {drift:.3f} "
           f"({'OK, within noise' if drift < 0.08 else 'UPDATE the table'})")
+    val = ",".join(f"{s}:{r}" for s, r in anchors)
     if drift >= 0.08:
         # apply without editing code: the planner reads this env override
         # (tiling.planner._anchors)
-        val = ",".join(f"{s}:{r}" for s, r in anchors)
         print(f"apply with: export REALSR_TPU_RATE_ANCHORS=\"{val}\"")
+    if "--save" in sys.argv:
+        # persist install-locally: the planner reads this file whenever the
+        # env override is absent (tiling.planner._anchors priority chain)
+        import json
+
+        from realsr_tpu.tiling.planner import _anchor_file
+
+        path = _anchor_file()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"anchors": val, "us_per_px": us_px}, f)
+        print(f"saved calibration to {path}")
     return 0
 
 
