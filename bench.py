@@ -197,6 +197,17 @@ def main() -> int:
                 "d2h_s": round(d2h_s, 2),
                 "psnr_db_vs_f32_golden": psnr_db,
                 "psnr_db_trained_stats": psnr_trained_db,
+                # round-2 -> round-3 headline context: r2's default was
+                # all-bfloat16 (25.5 MP/s at 31.8 dB on iid synthetic
+                # weights); the r3 default is MIXED (f32 carried trunk
+                # state / bf16 MXU operands), which closed the
+                # accuracy/speed fork (VERDICT r2 #1) at a measured 16%
+                # same-process trunk cost. bf16 remains available via
+                # REALSR_TPU_STORAGE=bfloat16 (26.6 MP/s chunk-only
+                # same-process A/B, BASELINE.md round-3 section)
+                "default_precision_change": "r2 bf16 -> r3 mixed "
+                "(f32-state/bf16-ops): +22.6 dB on trained-stats weights "
+                "for -16% same-process throughput; see BASELINE.md",
                 # warm start on THIS host is bounded by shipping ~110MB
                 # executables through the tunnel (measured 0.3-15 MB/s;
                 # BASELINE.md round-3 warm-start diagnosis) — local-PJRT

@@ -215,19 +215,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                 # platform pinning below can take effect
                 shard = _jdist.global_state.process_id or 0
                 num_shards = _jdist.global_state.num_processes or 0
-        except ImportError:
+        except (ImportError, AttributeError):
             # private-API pin (no public way to read this pre-backend-init):
-            # a jax upgrade that moves jax._src.distributed must not
-            # SILENTLY disable multi-host file sharding — tell the user the
-            # autodetect is gone so they can fall back to the env vars
+            # a jax upgrade that moves jax._src.distributed — or renames the
+            # global_state fields — must not SILENTLY disable multi-host
+            # file sharding; tell the user the autodetect is gone so they
+            # can fall back to the env vars
             print(
                 "warning: jax.distributed state probe unavailable in this "
                 "jax version; multi-host autodetect disabled (set "
                 "REALSR_TPU_SHARD / REALSR_TPU_NUM_SHARDS explicitly)",
                 file=sys.stderr,
             )
-        except Exception:
-            pass
     if num_shards > 1:
         if not (0 <= shard < num_shards):
             print("invalid REALSR_TPU_SHARD / REALSR_TPU_NUM_SHARDS", file=sys.stderr)
