@@ -123,24 +123,47 @@ def parse_param(text: str) -> ParamGraph:
         ) from None
     if magic != NCNN_MAGIC:
         raise ValueError(f"bad ncnn magic {magic} (expected {NCNN_MAGIC})")
-    layer_count_s, blob_count_s = lines[1].split()
-    layer_count, blob_count = int(layer_count_s), int(blob_count_s)
+    if len(lines) < 2:
+        raise ValueError(".param file ends after the magic line")
+    counts = lines[1].split()
+    if len(counts) != 2:
+        raise ValueError(f"bad .param count line {lines[1]!r}")
+    try:
+        layer_count, blob_count = int(counts[0]), int(counts[1])
+    except ValueError:
+        raise ValueError(f"bad .param count line {lines[1]!r}") from None
 
     layers: List[Layer] = []
     producer: Dict[str, int] = {}
     consumers: Dict[str, List[int]] = {}
     for ln in lines[2:]:
+        # malformed layer lines (truncated files, stray tokens) must
+        # surface as ValueError: the engine/CLI load path catches
+        # ValueError for its clean "load model failed" diagnostic
+        # (cli.py), matching ncnn's error-return on a bad param file
         toks = ln.split()
+        if len(toks) < 4:
+            raise ValueError(f"bad .param layer line {ln!r}")
         ltype, name = toks[0], toks[1]
-        nin, nout = int(toks[2]), int(toks[3])
+        try:
+            nin, nout = int(toks[2]), int(toks[3])
+        except ValueError:
+            raise ValueError(f"bad .param layer line {ln!r}") from None
         pos = 4
+        if nin < 0 or nout < 0 or pos + nin + nout > len(toks):
+            raise ValueError(f"bad .param layer line {ln!r}")
         inputs = toks[pos : pos + nin]
         pos += nin
         outputs = toks[pos : pos + nout]
         pos += nout
         params: Dict[int, ParamValue] = {}
         for tok in toks[pos:]:
-            k, v = _parse_kv(tok)
+            try:
+                k, v = _parse_kv(tok)
+            except (ValueError, IndexError):
+                raise ValueError(
+                    f"bad .param value {tok!r} in layer line {ln!r}"
+                ) from None
             params[k] = v
         idx = len(layers)
         layers.append(Layer(ltype, name, inputs, outputs, params))
