@@ -345,10 +345,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         try:
             e.load(parampath, modelpath)
-        except (ValueError, OSError) as ex:
-            # corrupt/truncated model files: clean diagnostic + error exit,
-            # like ncnn's load_param/load_model failure path (the reference
-            # exits on model-load failure rather than crashing)
+        except (ValueError, OSError, NotImplementedError) as ex:
+            # corrupt/truncated/unsupported model files: clean diagnostic +
+            # error exit, like ncnn's load_param/load_model failure path
+            # (the reference exits on model-load failure rather than
+            # crashing); NotImplementedError covers named unsupported
+            # features (int8 weight records, exotic layer types)
             print(f"load model failed: {ex}", file=sys.stderr)
             return -1
         engines.append(e)

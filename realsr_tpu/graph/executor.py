@@ -296,6 +296,22 @@ def build_forward(
             raise ValueError(f"graph has {len(outs)} outputs; specify output_blob")
         output_blob = outs[0]
 
+    # Validate wiring at build time: every consumed blob must have been
+    # produced by an earlier layer (ncnn's loader enforces the same
+    # ordering). A mis-wired graph is a malformed model file — raise
+    # ValueError here, at load, not KeyError at trace time.
+    produced = {input_blob}
+    for layer in graph.layers:
+        for b in layer.inputs:
+            if b not in produced:
+                raise ValueError(
+                    f"{layer.name}: input blob {b!r} is not produced by "
+                    "any earlier layer"
+                )
+        produced.update(layer.outputs)
+    if output_blob not in produced:
+        raise ValueError(f"output blob {output_blob!r} is never produced")
+
     # Precompute blob liveness so eager execution frees intermediates.
     last_use: Dict[str, int] = {output_blob: len(graph.layers)}
     for idx, layer in enumerate(graph.layers):

@@ -94,6 +94,11 @@ def load_weights(graph: ParamGraph, path: str) -> Dict[str, Dict[str, np.ndarray
             # f32 bias)
             num_output = layer.pi(0)
             wsize = layer.pi(2)
+            if num_output < 1 or wsize < 1 or wsize % num_output:
+                raise ValueError(
+                    f"{layer.name}: bad InnerProduct dims "
+                    f"(num_output={num_output}, weight_data_size={wsize})"
+                )
             w = _read_tagged(cur, wsize).reshape(num_output, wsize // num_output)
             rec = {"weight": w}
             if layer.pi(1):
@@ -119,10 +124,30 @@ def load_weights(graph: ParamGraph, path: str) -> Dict[str, Dict[str, np.ndarray
         kh = layer.pi(11, kw)
         bias_term = layer.pi(5)
         wsize = layer.pi(6)
+        # a graph that parses can still declare impossible conv dims (zero
+        # channels, sizes that don't factor); that is a malformed model
+        # file, not a programming error — report it as ValueError so the
+        # load path's clean diagnostic fires instead of ZeroDivisionError
+        if (
+            num_output < 1
+            or kw < 1
+            or kh < 1
+            or wsize < 1
+            or wsize % (num_output * kh * kw)
+        ):
+            raise ValueError(
+                f"{layer.name}: bad Convolution dims (num_output="
+                f"{num_output}, kernel={kw}x{kh}, weight_data_size={wsize})"
+            )
         w = _read_tagged(cur, wsize)
         cin = wsize // (num_output * kh * kw)
         if layer.type == "ConvolutionDepthWise":
             group = layer.pi(7, 1)
+            if group < 1 or num_output % group:
+                raise ValueError(
+                    f"{layer.name}: bad group={group} for "
+                    f"num_output={num_output}"
+                )
             w = w.reshape(group, num_output // group, cin, kh, kw)
         else:
             w = w.reshape(num_output, cin, kh, kw)

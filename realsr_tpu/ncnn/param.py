@@ -40,16 +40,20 @@ class Layer:
     params: Dict[int, ParamValue]
 
     def pi(self, key: int, default: int = 0) -> int:
-        """Scalar int param with ncnn default-0 semantics."""
+        """Scalar int param with ncnn default-0 semantics.
+
+        An array where a scalar is declared is a malformed model file, so
+        it raises ValueError — the class the engine/CLI load path turns
+        into its clean ``load model failed`` diagnostic."""
         v = self.params.get(key, default)
         if isinstance(v, list):
-            raise TypeError(f"{self.name}: param {key} is an array")
+            raise ValueError(f"{self.name}: param {key} is an array")
         return int(v)
 
     def pf(self, key: int, default: float = 0.0) -> float:
         v = self.params.get(key, default)
         if isinstance(v, list):
-            raise TypeError(f"{self.name}: param {key} is an array")
+            raise ValueError(f"{self.name}: param {key} is an array")
         return float(v)
 
     def pa(self, key: int, default: Sequence[float] = ()) -> List[float]:

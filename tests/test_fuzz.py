@@ -76,6 +76,73 @@ def test_param_parser_rejects_structural_garbage():
             parse_param(bad)
 
 
+def test_load_path_never_crashes_on_miswired_graphs(tmp_path):
+    """Parseable-but-wrong graphs (mis-wired blobs, zeroed channel counts,
+    swapped layer types) through the full load path — load_weights +
+    match_rrdbnet + build_forward must raise only the classes the engine
+    load path handles (this fuzz found ZeroDivisionError on 0=0 conv dims
+    and TypeError from scalar-vs-array params before the guards)."""
+    from realsr_tpu.graph.executor import build_forward
+    from realsr_tpu.graph.rrdb_match import match_rrdbnet
+
+    text = make_rrdbnet_param_text(SPEC)
+    graph = parse_param(text)
+    binp = str(tmp_path / "x4.bin")
+    write_weights(graph, synth_weights(graph, seed=0), binp)
+
+    lines = text.splitlines()
+    rng = random.Random(2)
+    for _ in range(120):
+        ls = list(lines)
+        i = rng.randrange(2, len(ls))
+        toks = ls[i].split()
+        op = rng.randrange(3)
+        if op == 0 and len(toks) > 5:
+            toks[rng.randrange(4, len(toks))] = rng.choice(
+                ["bogus_blob", "data", "output"]
+            )
+        elif op == 1:
+            for j, t in enumerate(toks):
+                if "=" in t:
+                    k, _, _v = t.partition("=")
+                    toks[j] = f"{k}={rng.choice(['0', '1', '999', '7'])}"
+                    break
+        else:
+            toks[0] = rng.choice(
+                ["Convolution", "Eltwise", "Pooling", "Sigmoid", "Split"]
+            )
+        ls[i] = " ".join(toks)
+        try:
+            g2 = parse_param("\n".join(ls))
+            load_weights(g2, binp)
+            match_rrdbnet(g2)
+            build_forward(g2)
+        except (ValueError, OSError, NotImplementedError):
+            # ValueError/OSError: the load path's diagnostic classes.
+            # NotImplementedError: executor's unsupported-layer guard
+            # (also ValueError-adjacent: a clean named reason, no crash).
+            continue
+
+
+def test_engine_load_diagnostic_on_miswired_graph(tmp_path):
+    """The engine facade itself must turn a wrong-but-parseable model into
+    its clean load failure, like ncnn's error return (realsr.cpp:75)."""
+    from realsr_tpu.engine import EngineConfig, RealSR
+
+    text = make_rrdbnet_param_text(SPEC)
+    # zero out conv_first's output channels: parses fine, impossible model
+    bad = text.replace(" 0=16 ", " 0=0 ", 1)
+    assert bad != text
+    pp = tmp_path / "x4.param"
+    bp = tmp_path / "x4.bin"
+    pp.write_text(bad)
+    graph = parse_param(text)
+    write_weights(graph, synth_weights(graph, seed=0), str(bp))
+    eng = RealSR(gpuid=-1, config=EngineConfig(tilesize=16))
+    with pytest.raises((ValueError, OSError)):
+        eng.load(str(pp), str(bp))
+
+
 def test_bin_reader_never_crashes_on_mutations(tmp_path):
     graph = parse_param(make_rrdbnet_param_text(SPEC))
     path = str(tmp_path / "x4.bin")
