@@ -51,6 +51,20 @@ RDB_INNER_SCAN = True
 # measured winner on v5e (BASELINE.md round-3 chained-trunk A/B).
 CHAINED_TRUNK = False
 
+# In mixed mode, carry the trunk state as PAIRED bf16 planes (hi + lo)
+# instead of one f32 plane: identical MXU operand values (hi = bf16 of the
+# f32 state), ~16-bit carried mantissa (between f16 parity and the f32
+# carry), at HALF the f32 window-DMA bytes — the dominant term of mixed
+# mode's measured 16% trunk cost (BASELINE.md round-3 decomposition).
+# Module-level A/B flag like CHAINED_TRUNK; ignored outside mixed mode.
+# MEASURED (v5e, 2026-08-17, tools/paired_ab.py, production chunk 8x276²,
+# same-process min-of-rounds): 1.031x vs the f32 carry — the lo plane's
+# blocked input + second blocked output win back only ~11 ms of the 59 ms
+# f32 window+glue cost. Too small to justify trading the f32 carry's
+# exact state for a ~16-bit one; kept OFF like CHAINED_TRUNK, with the
+# kernel, exactness/error-class tests, and this A/B as the record.
+PAIRED_CARRY = False
+
 # In mixed mode, optionally carry the TAIL's activations (upsampler at
 # 2x/4x resolution) at the operand dtype instead of f32. Measured on v5e
 # (2026-08-17, same-process A/B at the production chunk): IDENTICAL
@@ -328,6 +342,54 @@ def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
     WB = RK.round_wb(W)
     BLK, nblk = RK.plan_rows(H, wb=WB)
     Hp = BLK * nblk
+    paired = (
+        PAIRED_CARRY
+        and not CHAINED_TRUNK
+        and kernel_od == jnp.bfloat16
+        and jnp.dtype(storage_dtype) == jnp.float32
+    )
+    if paired:
+        fea32 = fea.astype(jnp.float32)
+        hi0 = fea32.astype(jnp.bfloat16)
+        lo0 = (fea32 - hi0.astype(jnp.float32)).astype(jnp.bfloat16)
+        t_hi = RK.to_flat(hi0, WB, Hp, top=5)
+        t_lo = RK.to_flat(lo0, WB, Hp, top=5)[:, :, 5 * WB : 5 * WB + Hp * WB]
+
+        def one_rdb_paired(cur, pj):
+            hi_f, lo_c = cur
+            hi_c, lo2 = RK.rdb_apply_paired(
+                hi_f, lo_c, pj, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk,
+                nf=nf, gc=gc, db=RK.COLS_DB,
+            )
+            return (RK.re_apron(hi_c, WB), lo2)
+
+        def center32(hi_f, lo_c):
+            return (
+                hi_f[:, :, 5 * WB : 5 * WB + Hp * WB].astype(jnp.float32)
+                + lo_c.astype(jnp.float32)
+            )
+
+        def rrdb_body_paired(t, block_p):
+            u32 = center32(*t)
+            if RDB_INNER_SCAN:
+                cur, _ = jax.lax.scan(
+                    lambda c, pj: (one_rdb_paired(c, pj), None), t, block_p
+                )
+            else:
+                cur = t
+                for j in range(spec.num_rdb_per_rrdb):
+                    cur = one_rdb_paired(
+                        cur, jax.tree.map(lambda a: a[j], block_p)
+                    )
+            out32 = RESIDUAL_SCALE * center32(*cur) + u32
+            hi = out32.astype(jnp.bfloat16)
+            lo = (out32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (RK.re_apron(hi, WB), lo), None
+
+        tp, _ = jax.lax.scan(rrdb_body_paired, (t_hi, t_lo), params["rdb"])
+        body = RK.from_flat(center32(*tp), H, W, WB).astype(storage_dtype)
+        return _pallas_tail(params, fea, body, spec, storage_dtype, od, kernel_od)
+
     # chained mode runs on the TOP=8 layout (DMA offset alignment, see
     # rdb_apply_chained); the unchained composition keeps the minimal
     # TOP=5 apron.
@@ -390,7 +452,12 @@ def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
 
     tf, _ = jax.lax.scan(rrdb_body, t0, params["rdb"])
     body = RK.from_flat(tf[:, :, top * WB : (top + Hp) * WB], H, W, WB)
+    return _pallas_tail(params, fea, body, spec, storage_dtype, od, kernel_od)
 
+
+def _pallas_tail(params, fea, body, spec, storage_dtype, od, kernel_od):
+    """Shared tail after the trunk (trunk conv + long skip + upsampler +
+    HR + last); XLA convs — see _forward_pallas docstring for why."""
     tail_dt = (
         od if (kernel_od is not None and MIXED_TAIL_OP_STORAGE) else storage_dtype
     )

@@ -121,6 +121,7 @@ def _rdb_kernel(
     ch: int = _CH,
     db: bool = True,
     chained: bool = False,
+    paired: bool = False,
 ):
     if chained:
         # chained mode (see rdb_apply_chained): the output is the SAME
@@ -128,6 +129,12 @@ def _rdb_kernel(
         # at the apron offset — no XLA re_apron pad between chained calls.
         (u_hbm, flag, out_ref, xg, xb, cols_ref, cols2_ref, yc, ug,
          sem, sem_u, sem_o) = rest
+    elif paired:
+        # paired-carry mode (see rdb_apply_paired): the chain state is
+        # hi+lo bf16 planes; taps read the hi window, the residual
+        # reconstructs hi+lo in f32, and the f32 result re-splits on the
+        # way out — two blocked center outputs, no f32 HBM traffic.
+        (lo_in, hi_out, lo_out, xg, xb, cols_ref, cols2_ref, sem) = rest
     else:
         (out_ref, xg, xb, cols_ref, cols2_ref, sem) = rest
     # TOP = layout apron rows above tile row 0. Unchained keeps the minimal
@@ -293,6 +300,18 @@ def _rdb_kernel(
     p4 = stage(guard(c4), w4[:])  # [nf, FLAT]
     c5 = a5 + p4
     xc = xg[:, _G : _G + FLAT].astype(jnp.float32)
+    if paired:
+        # f32 residual over the window's hi plane, then add the center's
+        # lo plane and re-split: hi' = round(y), lo' = y - hi'. Invalid
+        # positions stay zero by induction (y masked to 0; lo is 0 there).
+        yf = jnp.where(valid, RESIDUAL_SCALE * c5 + xc, 0.0)
+        center = yf[:, TOP * WB : (TOP + BLK) * WB] + lo_in[0].astype(
+            jnp.float32
+        )
+        hi = center.astype(xg.dtype)
+        hi_out[0] = hi
+        lo_out[0] = (center - hi.astype(jnp.float32)).astype(xg.dtype)
+        return
     y = jnp.where(valid, RESIDUAL_SCALE * c5 + xc, 0.0).astype(xg.dtype)
     if not chained:
         out_ref[0] = y[:, TOP * WB : (TOP + BLK) * WB]
@@ -418,6 +437,85 @@ def rdb_apply(
         kp["b1"], kp["b2"], kp["b3"], kp["b4"], kp["b5"],
     )
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "WB", "BLK", "nblk", "nf", "gc", "ch", "db", "interpret",
+    ),
+)
+def rdb_apply_paired(
+    hi_flat: jnp.ndarray,  # [B, nf, (Hp+10)*WB + 128] bf16, aproned (hi)
+    lo_center: jnp.ndarray,  # [B, nf, Hp*WB] bf16 (lo, center rows only)
+    kp: Dict[str, jnp.ndarray],
+    *,
+    H: int,
+    W: int,
+    WB: int,
+    BLK: int,
+    nblk: int,
+    nf: int,
+    gc: int,
+    ch: int = _CH,
+    db: bool = True,
+    interpret: bool = False,
+):
+    """One fused RDB with a PAIRED bf16 carry -> (hi_center, lo_center).
+
+    The chain state is ``x ≈ hi + lo`` with both planes bf16: ``hi`` is the
+    bf16 rounding of the f32 state (so the MXU taps read exactly the same
+    operand values as the mixed f32-carry mode), and ``lo`` carries the
+    rounding remainder, extending the carried mantissa to ~16 bits — less
+    rounding per RDB round-trip than the reference's fp16 storage
+    (src/realsr.cpp:43-47) at HALF the mixed mode's window-DMA bytes (the
+    f32 window read is the dominant term of mixed's measured 16% trunk
+    cost, BASELINE.md round-3). The residual reconstructs ``hi + lo`` in
+    f32 in-kernel and re-splits the f32 result on the way out; only the
+    halo rows' residuals (recomputed by the next block anyway) see the
+    hi-only window value. ``lo`` rides the blocked Pallas pipeline (one
+    BLK-row block per grid step), so no manual DMA is involved — the
+    machinery that made the chained mode a net loss.
+    """
+    B = hi_flat.shape[0]
+    R0 = BLK + 10
+    FLAT = R0 * WB
+    _G = _guard_lanes(WB)
+    padf = -(-FLAT // ch) * ch
+    kernel = functools.partial(
+        _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
+        ch=ch, db=db, paired=True,
+    )
+    rep = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blocked = pl.BlockSpec(
+        (1, nf, BLK * WB), lambda b, r: (b, 0, r), memory_space=pltpu.VMEM
+    )
+    out_sh = jax.ShapeDtypeStruct((B, nf, nblk * BLK * WB), hi_flat.dtype)
+    hi_c, lo_c = pl.pallas_call(
+        kernel,
+        grid=(B, nblk),
+        in_specs=[rep] + [vmem] * 10 + [blocked],
+        out_specs=[blocked, blocked],
+        out_shape=[out_sh, out_sh],
+        scratch_shapes=[
+            pltpu.VMEM((nf, padf + 2 * _G), hi_flat.dtype),
+            pltpu.VMEM((8, 128), hi_flat.dtype),  # xb dummy (single dtype)
+            pltpu.VMEM((9 * nf, ch), hi_flat.dtype),
+            pltpu.VMEM((9 * nf, ch) if db else (8, 128), hi_flat.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        hi_flat,
+        kp["w0"], kp["w1"], kp["w2"], kp["w3"], kp["w4"],
+        kp["b1"], kp["b2"], kp["b3"], kp["b4"], kp["b5"],
+        lo_center,
+    )
+    return hi_c, lo_c
 
 
 @functools.partial(

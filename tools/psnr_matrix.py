@@ -69,11 +69,25 @@ def main() -> int:
         d = model_dir(stats, args.seed)
 
         def run(storage):
-            e = RealSR(
-                gpuid=0, config=EngineConfig(tilesize=G.TILESIZE, storage=storage)
-            )
-            e.load(d + "/x4.param", d + "/x4.bin")
-            out = e.process(img)
+            # "paired": the mixed config with the hi+lo bf16 carried state
+            # (models.rrdbnet.PAIRED_CARRY trace-time flag, pallas only)
+            from realsr_tpu.models import rrdbnet as R
+
+            flag = storage == "paired"
+            old = R.PAIRED_CARRY
+            R.PAIRED_CARRY = flag or old
+            try:
+                e = RealSR(
+                    gpuid=0,
+                    config=EngineConfig(
+                        tilesize=G.TILESIZE,
+                        storage="mixed" if flag else storage,
+                    ),
+                )
+                e.load(d + "/x4.param", d + "/x4.bin")
+                out = e.process(img)
+            finally:
+                R.PAIRED_CARRY = old
             return out, e.variant
 
         ref, _ = run("float32")
