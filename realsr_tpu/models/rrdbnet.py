@@ -308,6 +308,19 @@ def _upconv_x2_phase(x, w, b, op_dtype=None):
 # nearest+conv two-op form.
 UPCONV_PHASE = False
 
+# Run the WHOLE tail (up1/up2/HRconv/conv_last) at BASE resolution with
+# the 16 output phases as channel groups, interleaving ONCE at the very
+# end on the 3-channel f32 result. Round 1's flat tail lost on the
+# 64-channel pixel-replication shuffle and round 3's phase upsampler lost
+# on the 64-channel interleave at 2x/4x (BASELINE.md); this formulation
+# has NO intermediate interleave — every stage is a phase-gathered
+# einsum over base-resolution shifted slices, and the one interleave
+# moves 3-channel data (21x less than 64-channel). Exact same taps as
+# the interleaved tail (zero-pad borders included; proven in
+# tests/test_packed_tail.py). Module-level A/B flag; measured on v5e
+# before any default change.
+PACKED_TAIL = False
+
 
 def _upconv(x, w, b, op_dtype=None):
     fn = _upconv_x2_phase if UPCONV_PHASE else _upconv_x2
@@ -455,9 +468,155 @@ def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
     return _pallas_tail(params, fea, body, spec, storage_dtype, od, kernel_od)
 
 
+def _shift0(x, sy, sx):
+    """[B, H, W, C] shifted by (sy, sx) ∈ {-1, 0, 1} with zero fill:
+    result[i, j] = x[i + sy, j + sx] (zero outside). The packed-tail
+    analog of the interleaved convs' SAME zero padding."""
+    if sy == 0 and sx == 0:
+        return x
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return xp[:, 1 + sy : 1 + sy + H, 1 + sx : 1 + sx + W, :]
+
+
+def _phase_split(w):
+    """Tap-sum kernels of ``nearest-x2 + conv3x3``: k[a][b][s, t] is the
+    [cin, cout] weight the 2x-output phase (a, b) applies to the input at
+    [i + a - 1 + s, j + b - 1 + t] (s, t ∈ {0, 1}). Same construction as
+    _upconv_x2_phase (which proves it exact vs the two-op form)."""
+    w = w.astype(jnp.float32)
+    r0 = jnp.stack([w[0], w[1] + w[2]])  # a=0: taps rows (i-1, i)
+    r1 = jnp.stack([w[0] + w[1], w[2]])  # a=1: taps rows (i, i+1)
+
+    def cols(rw):
+        c0 = jnp.stack([rw[:, 0], rw[:, 1] + rw[:, 2]], axis=1)
+        c1 = jnp.stack([rw[:, 0] + rw[:, 1], rw[:, 2]], axis=1)
+        return c0, c1
+
+    k00, k01 = cols(r0)
+    k10, k11 = cols(r1)
+    return [[k00, k01], [k10, k11]]
+
+
+def _packed_tail(params, fea, body, spec, storage_dtype, od, kernel_od):
+    """The tail in packed-phase form: every stage computes at BASE
+    resolution with output phases as channel groups; one 3-channel f32
+    interleave at the end (see the PACKED_TAIL flag comment).
+
+    Derivation: a 4x-res pixel (4i+P, 4j+Q) has base position (i, j) and
+    phase (P, Q). up1's 2x phases (a, b) come from _phase_split taps on
+    fea. up2's 4x phase (2a+c, 2b+d) at base i taps the 2x image at rows
+    2i + (a+c-1+s), i.e. packed phase (m%2) at base shift (m - m%2)/2 —
+    a shifted slice. HRconv/conv_last at 4x: tap dy maps output phase P
+    to source phase (P+dy)%4 at base shift (P+dy)//4. All taps therefore
+    become concat(shifted 64-ch slices) @ [K, cout] einsums with K = 256
+    (upsample stages) or 576 (3x3 stages) — MXU-shaped matmuls instead
+    of XLA's 6-12%-MFU 4x-resolution convs (BASELINE.md round-3 tail
+    decomposition). Zero-fill shifts reproduce the interleaved convs'
+    zero-pad borders exactly; the reference computes this tail at full
+    resolution per tile (/root/reference/src/realsr.cpp:420-428 via the
+    x4.param upsampler layers)."""
+    tail_dt = (
+        od if (kernel_od is not None and MIXED_TAIL_OP_STORAGE) else storage_dtype
+    )
+    trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"], None, od)
+    fea = (fea.astype(jnp.float32) + trunk).astype(tail_dt)
+
+    def mm(sources, rows, b, slope, store=True):
+        x = jnp.concatenate(sources, axis=-1).astype(od)
+        w = jnp.concatenate([r.astype(jnp.float32) for r in rows], axis=0)
+        y = jnp.einsum(
+            "bhwk,ko->bhwo",
+            x,
+            w.astype(od),
+            preferred_element_type=jnp.float32,
+            precision=_precision(od),
+        )
+        y = y + b.astype(jnp.float32)
+        if slope is not None:
+            y = jnp.where(y >= 0, y, y * slope)
+        return y.astype(tail_dt) if store else y
+
+    # up1: fea -> 4 packed 2x phases; P1[a][b][i, j] = 2x pixel (2i+a, 2j+b)
+    k1 = _phase_split(params["up"]["w"][0])
+    b1 = params["up"]["b"][0]
+    P1 = [
+        [
+            mm(
+                [
+                    _shift0(fea, a - 1 + s, b - 1 + t)
+                    for s in (0, 1)
+                    for t in (0, 1)
+                ],
+                [k1[a][b][s, t] for s in (0, 1) for t in (0, 1)],
+                b1,
+                LRELU_SLOPE,
+            )
+            for b in (0, 1)
+        ]
+        for a in (0, 1)
+    ]
+
+    # up2: 4 packed phases -> 16; output phase (2a+c, 2b+d)
+    k2 = _phase_split(params["up"]["w"][1])
+    b2 = params["up"]["b"][1]
+    P2 = [[None] * 4 for _ in range(4)]
+    for a in (0, 1):
+        for c in (0, 1):
+            for bb in (0, 1):
+                for d in (0, 1):
+                    srcs, rows = [], []
+                    for s in (0, 1):
+                        m = a + c - 1 + s
+                        qr, sr = m % 2, (m - m % 2) // 2
+                        for t in (0, 1):
+                            n = bb + d - 1 + t
+                            qc, sc = n % 2, (n - n % 2) // 2
+                            srcs.append(_shift0(P1[qr][qc], sr, sc))
+                            rows.append(k2[c][d][s, t])
+                    P2[2 * a + c][2 * bb + d] = mm(
+                        srcs, rows, b2, LRELU_SLOPE
+                    )
+
+    # HRconv + conv_last: 3x3 convs at 4x resolution in phase space
+    def conv_phase(P, w, b, slope, store):
+        out = [[None] * 4 for _ in range(4)]
+        for Pr in range(4):
+            for Qc in range(4):
+                srcs, rows = [], []
+                for dy in (-1, 0, 1):
+                    py, sy = (Pr + dy) % 4, (Pr + dy) // 4
+                    for dx in (-1, 0, 1):
+                        px, sx = (Qc + dx) % 4, (Qc + dx) // 4
+                        srcs.append(_shift0(P[py][px], sy, sx))
+                        rows.append(w[dy + 1, dx + 1])
+                out[Pr][Qc] = mm(srcs, rows, b, slope, store=store)
+        return out
+
+    P3 = conv_phase(
+        P2, params["hr"]["w"], params["hr"]["b"], LRELU_SLOPE, store=True
+    )
+    P4 = conv_phase(
+        P3, params["last"]["w"], params["last"]["b"], None, store=False
+    )
+
+    # single interleave, 3-channel f32: out[4i+P, 4j+Q] = P4[P][Q][i, j]
+    grid = jnp.stack(
+        [jnp.stack([P4[P][Q] for Q in range(4)], axis=3) for P in range(4)],
+        axis=2,
+    )  # [B, H, 4, W, 4, out_ch]
+    B, H = grid.shape[0], grid.shape[1]
+    W = grid.shape[3]
+    return grid.reshape(B, 4 * H, 4 * W, grid.shape[-1])
+
+
 def _pallas_tail(params, fea, body, spec, storage_dtype, od, kernel_od):
     """Shared tail after the trunk (trunk conv + long skip + upsampler +
     HR + last); XLA convs — see _forward_pallas docstring for why."""
+    if PACKED_TAIL and spec.num_upsample == 2:
+        return _packed_tail(
+            params, fea, body, spec, storage_dtype, od, kernel_od
+        )
     tail_dt = (
         od if (kernel_od is not None and MIXED_TAIL_OP_STORAGE) else storage_dtype
     )

@@ -1,0 +1,139 @@
+"""Packed-phase tail (models.rrdbnet._packed_tail) exactness.
+
+The packed tail must reproduce the interleaved tail's values — same taps,
+same f32 accumulation dtype, zero-pad borders included — for any H/W
+(odd, non-square) and both operand dtypes. Reference semantics: the tail
+of the x4.param graph run at full resolution per tile
+(/root/reference/src/realsr.cpp:420-428)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from realsr_tpu.models import rrdbnet as R
+
+
+def _tail_params(nf, out_ch, seed=0):
+    rng = np.random.default_rng(seed)
+
+    def conv(ci, co):
+        return {
+            "w": rng.normal(0, 0.1, (3, 3, ci, co)).astype(np.float32),
+            "b": rng.normal(0, 0.05, (co,)).astype(np.float32),
+        }
+
+    up = [conv(nf, nf) for _ in range(2)]
+    return {
+        "trunk": conv(nf, nf),
+        "up": {
+            "w": np.stack([u["w"] for u in up]),
+            "b": np.stack([u["b"] for u in up]),
+        },
+        "hr": conv(nf, nf),
+        "last": conv(nf, out_ch),
+    }
+
+
+def _run(params, fea, body, spec, packed, storage_dtype, od):
+    kernel_od = None if jnp.dtype(od) == jnp.dtype(storage_dtype) else od
+    old = R.PACKED_TAIL
+    R.PACKED_TAIL = packed
+    try:
+        return np.asarray(
+            R._pallas_tail(
+                params, jnp.asarray(fea), jnp.asarray(body), spec,
+                storage_dtype, jnp.dtype(od), kernel_od,
+            )
+        )
+    finally:
+        R.PACKED_TAIL = old
+
+
+@pytest.mark.parametrize("H,W", [(7, 9), (8, 8), (5, 12)])
+def test_packed_tail_exact_f32(H, W):
+    nf = 16
+    spec = R.RRDBNetSpec(num_rrdb=1, nf=nf, gc=8)
+    params = _tail_params(nf, spec.out_ch, seed=1)
+    rng = np.random.default_rng(2)
+    fea = rng.normal(0, 1, (2, H, W, nf)).astype(np.float32)
+    body = rng.normal(0, 1, (2, H, W, nf)).astype(np.float32)
+
+    ref = _run(params, fea, body, spec, False, jnp.float32, jnp.float32)
+    got = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+    assert ref.shape == (2, 4 * H, 4 * W, 3)
+    # identical taps and f32 accumulation; only summation ORDER differs
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_packed_tail_bf16_operands_same_class():
+    """Mixed-mode dtypes (f32 storage, bf16 operands): packed must stay in
+    the interleaved form's bf16-rounding class."""
+    nf = 16
+    spec = R.RRDBNetSpec(num_rrdb=1, nf=nf, gc=8)
+    params = _tail_params(nf, spec.out_ch, seed=3)
+    rng = np.random.default_rng(4)
+    fea = rng.normal(0, 1, (1, 6, 11, nf)).astype(np.float32)
+    body = rng.normal(0, 1, (1, 6, 11, nf)).astype(np.float32)
+
+    exact = _run(params, fea, body, spec, False, jnp.float32, jnp.float32)
+    ref16 = _run(params, fea, body, spec, False, jnp.float32, jnp.bfloat16)
+    got16 = _run(params, fea, body, spec, True, jnp.float32, jnp.bfloat16)
+    e_ref = np.abs(ref16 - exact).max()
+    e_got = np.abs(got16 - exact).max()
+    assert e_got < max(2.0 * e_ref, 1e-3), (e_got, e_ref)
+
+
+def test_packed_tail_border_zero_pad_semantics():
+    """The zero-fill shifts must reproduce conv zero padding exactly: probe
+    with an input whose only energy sits on the border ring."""
+    nf = 16
+    spec = R.RRDBNetSpec(num_rrdb=1, nf=nf, gc=8)
+    params = _tail_params(nf, spec.out_ch, seed=5)
+    fea = np.zeros((1, 6, 7, nf), np.float32)
+    body = np.zeros((1, 6, 7, nf), np.float32)
+    fea[:, [0, -1], :, :] = 1.0
+    fea[:, :, [0, -1], :] = 1.0
+    body[:, [0, -1], :, :] = 0.5
+    body[:, :, [0, -1], :] = 0.5
+
+    ref = _run(params, fea, body, spec, False, jnp.float32, jnp.float32)
+    got = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_packed_tail_full_forward_pallas_interpret():
+    """End-to-end through rrdbnet_forward (pallas variant, interpret) with
+    PACKED_TAIL on: matches the same forward with the flag off."""
+    import functools
+
+    from realsr_tpu.ops import rdb_kernel as K
+
+    spec = R.RRDBNetSpec(num_rrdb=2, nf=16, gc=8)
+    p = R.init_rrdbnet_params(spec, seed=7)
+    pp = dict(p)
+    pp["rdb"] = jax.tree.map(
+        np.asarray,
+        K.pack_rdb_params(R.repack_scatter(p)["rdb"], dtype=jnp.float32),
+    )
+    x = np.random.default_rng(8).random((1, 10, 9, 3)).astype(np.float32)
+
+    orig = K.rdb_apply
+    K.rdb_apply = functools.partial(orig, interpret=True)
+    try:
+        ref = np.asarray(
+            R.rrdbnet_forward(
+                pp, x, spec, storage_dtype=jnp.float32, variant="pallas"
+            )
+        )
+        R.PACKED_TAIL = True
+        got = np.asarray(
+            R.rrdbnet_forward(
+                pp, x, spec, storage_dtype=jnp.float32, variant="pallas"
+            )
+        )
+    finally:
+        R.PACKED_TAIL = False
+        K.rdb_apply = orig
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
