@@ -48,13 +48,27 @@ def _supervise() -> int:
     import subprocess
 
     budget = int(os.environ.get("REALSR_BENCH_TIMEOUT", "7200"))
-    env = dict(os.environ, _REALSR_BENCH_CHILD="1")
-    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)], env=env)
+    # PYTHONUNBUFFERED: the child's result line must reach the pipe the
+    # moment it prints, not sit in a block buffer while teardown hangs
+    env = dict(os.environ, _REALSR_BENCH_CHILD="1", PYTHONUNBUFFERED="1")
+    # capture the child's stdout so that a child which PRINTED its result
+    # and then hung in interpreter teardown (gRPC client shutdown goes
+    # through the same tunnel) does not get a second, contradictory
+    # failure line appended after its valid one
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, text=True,
+    )
     try:
-        return proc.wait(timeout=budget)
+        out, _ = proc.communicate(timeout=budget)
+        sys.stdout.write(out)
+        return proc.returncode
     except subprocess.TimeoutExpired:
         proc.kill()
-        proc.wait()
+        out, _ = proc.communicate()
+        if out and '"value"' in out:
+            sys.stdout.write(out)  # the child did report before hanging
+            return 0
         print(
             json.dumps(
                 {
@@ -71,6 +85,9 @@ def _supervise() -> int:
                 }
             )
         )
+        # exit 0 deliberately: the driver's artifact is the printed JSON
+        # line; a nonzero status could make it discard the (truthful)
+        # failure record. The child-crash path still propagates its code.
         return 0
 
 

@@ -267,19 +267,11 @@ def _upconv_x2_phase(x, w, b, op_dtype=None):
     input pad here); verified in test_model_parity.
     """
     od = jnp.dtype(op_dtype) if op_dtype is not None else x.dtype
-    w = w.astype(jnp.float32)  # [3, 3, cin, cout]
     cout = w.shape[3]
-    r0 = jnp.stack([w[0], w[1] + w[2]])  # [2, 3, cin, cout]: rows (i-1, i)
-    r1 = jnp.stack([w[0] + w[1], w[2]])  # rows (i, i+1)
-
-    def _cols(rw):
-        c0 = jnp.stack([rw[:, 0], rw[:, 1] + rw[:, 2]], axis=1)
-        c1 = jnp.stack([rw[:, 0] + rw[:, 1], rw[:, 2]], axis=1)
-        return c0, c1  # [2, 2, cin, cout] each
-
-    k00, k01 = _cols(r0)
-    k10, k11 = _cols(r1)
-    k = jnp.concatenate([k00, k01, k10, k11], axis=-1)  # [2, 2, cin, 4cout]
+    kk = _phase_split(w)  # shared tap-sum construction (packed tail uses it)
+    k = jnp.concatenate(
+        [kk[0][0], kk[0][1], kk[1][0], kk[1][1]], axis=-1
+    )  # [2, 2, cin, 4cout]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     y = jax.lax.conv_general_dilated(
         xp.astype(od),
@@ -498,10 +490,12 @@ def _phase_split(w):
     return [[k00, k01], [k10, k11]]
 
 
-def _packed_tail(params, fea, body, spec, storage_dtype, od, kernel_od):
+def _packed_tail(params, fea, spec, od, tail_dt):
     """The tail in packed-phase form: every stage computes at BASE
     resolution with output phases as channel groups; one 3-channel f32
-    interleave at the end (see the PACKED_TAIL flag comment).
+    interleave at the end (see the PACKED_TAIL flag comment). ``fea`` is
+    the post-trunk-conv, post-long-skip feature map (computed by
+    _pallas_tail so the dtype policy lives in exactly one place).
 
     Derivation: a 4x-res pixel (4i+P, 4j+Q) has base position (i, j) and
     phase (P, Q). up1's 2x phases (a, b) come from _phase_split taps on
@@ -516,11 +510,6 @@ def _packed_tail(params, fea, body, spec, storage_dtype, od, kernel_od):
     zero-pad borders exactly; the reference computes this tail at full
     resolution per tile (/root/reference/src/realsr.cpp:420-428 via the
     x4.param upsampler layers)."""
-    tail_dt = (
-        od if (kernel_od is not None and MIXED_TAIL_OP_STORAGE) else storage_dtype
-    )
-    trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"], None, od)
-    fea = (fea.astype(jnp.float32) + trunk).astype(tail_dt)
 
     def mm(sources, rows, b, slope, store=True):
         x = jnp.concatenate(sources, axis=-1).astype(od)
@@ -613,15 +602,13 @@ def _packed_tail(params, fea, body, spec, storage_dtype, od, kernel_od):
 def _pallas_tail(params, fea, body, spec, storage_dtype, od, kernel_od):
     """Shared tail after the trunk (trunk conv + long skip + upsampler +
     HR + last); XLA convs — see _forward_pallas docstring for why."""
-    if PACKED_TAIL and spec.num_upsample == 2:
-        return _packed_tail(
-            params, fea, body, spec, storage_dtype, od, kernel_od
-        )
     tail_dt = (
         od if (kernel_od is not None and MIXED_TAIL_OP_STORAGE) else storage_dtype
     )
     trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"], None, od)
     fea = (fea.astype(jnp.float32) + trunk).astype(tail_dt)
+    if PACKED_TAIL and spec.num_upsample == 2:
+        return _packed_tail(params, fea, spec, od, tail_dt)
     for s in range(spec.num_upsample):
         up = jax.tree.map(lambda a: a[s], params["up"])
         fea = _upconv(fea, up["w"], up["b"], od).astype(tail_dt)

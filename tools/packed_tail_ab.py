@@ -1,0 +1,100 @@
+"""A/B the packed-phase tail vs the interleaved tail on TPU.
+
+Times the FULL tail (_pallas_tail: trunk conv + skip + up1/up2 + HRconv +
+conv_last) with models.rrdbnet.PACKED_TAIL off/on at the production chunk
+shape, in mixed-mode dtypes (f32 storage, bf16 operands — the accelerator
+default). Inputs are generated ON DEVICE (a device_put of the 2x
+[B,H,H,64] f32 activations costs minutes through the axon tunnel).
+
+Protocol: same-process interleaved min-of-rounds, fenced by a one-element
+fetch (BASELINE.md).
+
+Usage:  python tools/packed_tail_ab.py [B H rounds]
+"""
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from realsr_tpu.models import rrdbnet as R
+
+
+def fence(y):
+    float(np.asarray(jax.device_get(y[(0,) * y.ndim])))
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    H = int(sys.argv[2]) if len(sys.argv) > 2 else 276
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    nf = 64
+    od = jnp.bfloat16
+    spec = R.RRDBNetSpec()
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 10)
+
+    fea = jax.random.normal(ks[0], (B, H, H, nf), jnp.float32)
+    body = jax.random.normal(ks[1], (B, H, H, nf), jnp.float32)
+    params = {
+        "trunk": {"w": jax.random.normal(ks[2], (3, 3, nf, nf)) * 0.05,
+                  "b": jax.random.normal(ks[3], (nf,)) * 0.01},
+        "up": {"w": jax.random.normal(ks[4], (2, 3, 3, nf, nf)) * 0.05,
+               "b": jax.random.normal(ks[5], (2, nf)) * 0.01},
+        "hr": {"w": jax.random.normal(ks[6], (3, 3, nf, nf)) * 0.05,
+               "b": jax.random.normal(ks[7], (nf,)) * 0.01},
+        "last": {"w": jax.random.normal(ks[8], (3, 3, nf, 3)) * 0.05,
+                 "b": jax.random.normal(ks[9], (3,)) * 0.01},
+    }
+
+    def build(packed):
+        def f(p, a, bd):
+            old = R.PACKED_TAIL
+            R.PACKED_TAIL = packed
+            try:
+                return R._pallas_tail(
+                    p, a, bd, spec, jnp.float32, od, od
+                )
+            finally:
+                R.PACKED_TAIL = old
+
+        return jax.jit(f)
+
+    fns, outs = {}, {}
+    for name in ("interleaved", "packed"):
+        fns[name] = build(name == "packed")
+        t0 = time.perf_counter()
+        outs[name] = fns[name](params, fea, body)
+        fence(outs[name])
+        print(f"{name}: compile+first {time.perf_counter() - t0:.1f}s",
+              flush=True)
+    d = float(jnp.max(jnp.abs(outs["interleaved"] - outs["packed"])))
+    print(f"closeness: max|diff| = {d:.3e}", flush=True)
+    del outs
+
+    best = {"interleaved": 1e9, "packed": 1e9}
+    for rnd in range(rounds):
+        for name in ("interleaved", "packed"):
+            t0 = time.perf_counter()
+            y = fns[name](params, fea, body)
+            fence(y)
+            dt = time.perf_counter() - t0
+            best[name] = min(best[name], dt)
+            print(f"  r{rnd} {name}: {dt*1e3:.1f} ms", flush=True)
+    print(
+        f"min interleaved {best['interleaved']*1e3:.1f} ms | packed "
+        f"{best['packed']*1e3:.1f} ms | speedup "
+        f"{best['interleaved']/best['packed']:.3f}x"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -93,9 +93,15 @@ def main() -> int:
         ref, _ = run("float32")
         for mode in args.modes.split(","):
             out, variant = run(mode)
+            note = ""
+            if mode == "paired" and variant != "pallas":
+                # PAIRED_CARRY is read only inside _forward_pallas; on the
+                # dense/scatter variant this row would silently equal
+                # plain mixed — mark it invalid rather than record it
+                note = "  [INVALID: paired needs variant=pallas]"
             print(
                 f"stats={stats:8s} storage={mode:9s} variant={variant:7s} "
-                f"psnr_vs_f32={psnr(ref, out):6.2f} dB",
+                f"psnr_vs_f32={psnr(ref, out):6.2f} dB{note}",
                 flush=True,
             )
     return 0

@@ -12,6 +12,7 @@ the same). This probes the remaining hypotheses on the SAME shape
   out_bf16  preferred_element_type=bf16 (halves the 2.5 GB f32 output
             write; numerics probe only - accum may round)
   f32_ops   f32 operands (no bf16 cast; is the cast/pack the cost?)
+  bf16_in   bf16-resident input (halves the input read traffic)
   rows4     batch-reshaped [4B, H, 4W, 64] (halo-incorrect, timing only:
             does XLA's spatial tiling improve on shorter images?)
   matmul    [N, 576] @ [576, 64] of matching FLOPs - the im2col-free MXU
@@ -73,6 +74,12 @@ def conv(x, w, dn, od, pet=jnp.float32):
 
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "nhwc"
+    known = ("nhwc", "nchw", "out_bf16", "bf16_in", "f32_ops", "rows4",
+             "matmul")
+    if variant not in known:
+        # a typo must not silently measure the nhwc baseline under the
+        # typo'd label and end up pasted into BASELINE.md as evidence
+        raise SystemExit(f"unknown variant {variant!r}; one of {known}")
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     H4 = int(sys.argv[3]) if len(sys.argv) > 3 else 1104
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 5
