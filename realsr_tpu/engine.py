@@ -217,6 +217,13 @@ class RealSR:
             # mode — run it on the XLA conv path.
             variant = "dense"
         self.variant = variant
+        if os.environ.get("REALSR_TPU_PACKED_TAIL"):
+            # experimental packed-phase tail (trace-time module flag; see
+            # models/rrdbnet.PACKED_TAIL and BASELINE.md round-3 notes) —
+            # env-reachable so bench.py / the CLIs can A/B it end-to-end
+            from realsr_tpu.models import rrdbnet as _R
+
+            _R.PACKED_TAIL = os.environ["REALSR_TPU_PACKED_TAIL"] != "0"
         self._model_paths = (parampath, modelpath)  # for process_cpu's sibling
         self.bundle = load_model(
             parampath, modelpath, storage_dtype=dtype, variant=variant,

@@ -428,3 +428,27 @@ def test_mixed_storage_mode(tiny_model_dir, rng):
     diff = np.abs(a.astype(int) - b.astype(int))
     assert diff.max() <= 3, diff.max()  # bf16 operand noise only
     assert (diff > 1).mean() < 0.01
+
+
+def test_packed_tail_env_hook(tiny_model_dir, rng, monkeypatch):
+    """REALSR_TPU_PACKED_TAIL env sets the trace-time module flag at
+    load() (the bench/CLI A/B hook); '0' leaves it off; the flag-on CPU
+    engine (dense variant ignores the flag) still matches flag-off."""
+    from realsr_tpu.models import rrdbnet as R
+
+    assert not R.PACKED_TAIL
+    try:
+        monkeypatch.setenv("REALSR_TPU_PACKED_TAIL", "1")
+        e = RealSR(gpuid=-1, config=EngineConfig(tilesize=16, storage="float32"))
+        e.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+        assert R.PACKED_TAIL
+        img = rng.integers(0, 256, (24, 20, 3), np.uint8)
+        out_on = e.process(img)
+        R.PACKED_TAIL = False
+        monkeypatch.setenv("REALSR_TPU_PACKED_TAIL", "0")
+        e2 = RealSR(gpuid=-1, config=EngineConfig(tilesize=16, storage="float32"))
+        e2.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+        assert not R.PACKED_TAIL
+        assert_u8_close(out_on, e2.process(img))
+    finally:
+        R.PACKED_TAIL = False
