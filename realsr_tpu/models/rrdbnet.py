@@ -313,6 +313,13 @@ UPCONV_PHASE = False
 # before any default change.
 PACKED_TAIL = False
 
+# With PACKED_TAIL: run HRconv + conv_last as the fused Pallas kernel
+# (ops.tail_kernel.hr_last_packed — z never leaves VMEM, one shared
+# [64, 576] weight for all 16 phases, W9-packed conv_last) instead of the
+# 32 phase-gathered XLA einsums. Same tap values; accumulation order
+# differs like any conv-vs-matmul regrouping.
+PACKED_TAIL_KERNEL = False
+
 
 def _upconv(x, w, b, op_dtype=None):
     fn = _upconv_x2_phase if UPCONV_PHASE else _upconv_x2
@@ -566,6 +573,30 @@ def _packed_tail(params, fea, spec, od, tail_dt):
                     P2[2 * a + c][2 * bb + d] = mm(
                         srcs, rows, b2, LRELU_SLOPE
                     )
+
+    if PACKED_TAIL_KERNEL:
+        from realsr_tpu.ops import rdb_kernel as RK
+        from realsr_tpu.ops import tail_kernel as TK
+
+        B, H, W = P2[0][0].shape[:3]
+        WB = RK.round_wb(W)
+        BLK, nblk = RK.plan_rows(H, target_blk=min(24, max(4, H)))
+        Hp = BLK * nblk
+        packed = jnp.concatenate(
+            [P2[P][Q] for P in range(4) for Q in range(4)], axis=-1
+        ).astype(od)  # operand dtype: bf16 window = the einsum's own cast
+        flat = RK.to_flat(packed, WB, Hp, top=2)
+        w1, b1p, w9, b3p = TK.pack_tail_weights(
+            params["hr"]["w"], params["hr"]["b"],
+            params["last"]["w"], params["last"]["b"], dtype=od,
+        )
+        out = TK.hr_last_packed(
+            flat, w1, b1p, w9, b3p, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk,
+        )
+        img = RK.from_flat(out, H, W, WB)  # [B, H, W, 48] phase-major
+        grid = img.reshape(B, H, W, 4, 4, spec.out_ch)
+        grid = jnp.transpose(grid, (0, 1, 3, 2, 4, 5))
+        return grid.reshape(B, 4 * H, 4 * W, spec.out_ch)
 
     # HRconv + conv_last: 3x3 convs at 4x resolution in phase space
     def conv_phase(P, w, b, slope, store):

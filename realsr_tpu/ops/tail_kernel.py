@@ -1,0 +1,274 @@
+"""Pallas TPU kernel: fused packed-phase HRconv + conv_last.
+
+The tail's two 4x-resolution 3x3 convs are the framework's last XLA convs
+on the hot path, and XLA emits them at 6-12% MFU regardless of layout or
+channel count (BASELINE.md round-3 tail decomposition + tools/tail_probe).
+In PACKED-PHASE form (models.rrdbnet._packed_tail) they are, per output
+phase (P, Q) of the 4x grid, matmuls over 9 (source-phase, base-shift)
+taps — and the phase-dependence lives ENTIRELY in the tap gather: all 16
+phases share ONE [64, 9*64] HRconv weight and ONE conv_last weight,
+because tap (dy, dx) of output phase P always multiplies w[dy+1, dx+1]
+with source phase (P+dy)%4 at base row shift (P+dy)//4.
+
+This kernel runs both convs for all 16 phases in one VMEM pass over the
+base-resolution flat layout (ops.rdb_kernel conventions: channels on
+sublanes — here 16 phases x 64 = 1024 rows — flat W-blocked spatial on
+lanes, zero guard cols, 2-row zero apron):
+
+  stage 1 (HRconv): per phase, im2col taps are lane slices of the guarded
+    window STORED into a cols scratch (arbitrary lane offsets must be
+    normalized through memory, per the RDB kernel), one [64, 576] @
+    [576, lanes] MXU matmul per lane chunk, + bias + lrelu, masked to the
+    tile. The z activations stay VALUES — they feed stage 2 directly and
+    never touch HBM (the interleaved form round-trips the 1.25 GB z
+    tensor at the production chunk).
+  stage 2 (conv_last, scatter/W9-packed): T_p = w9 [27, 64] @ z_p — each
+    source phase's contribution through all 9 taps in one K=64 matmul
+    (M=27 fills one MXU tile; the naive per-output-phase K=576, M=3
+    matmul would cost 9x the MXU passes for 3 rows of output). T is
+    stored to a lane-guarded scratch; each output phase then sums its 9
+    statically-shifted [3, lanes] T slices on the VPU.
+
+z is computed with a 1-row halo (recompute, like the RDB kernel's 5-row
+halo) so conv_last's cross-block taps need no inter-block communication;
+z outside the tile is masked to zero = the 4x image's zero padding.
+
+Reference semantics: HRconv + lrelu + conv_last of the x4.param tail
+(SURVEY.md §2.8; /root/reference/src/realsr.cpp:420-428 runs them through
+ncnn's Vulkan convs at 4x resolution per tile).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from realsr_tpu.ops.rdb_kernel import _CH, LRELU_SLOPE
+
+NPH = 16  # 4x4 output phases
+NF = 64  # tail channel count (x4.param HRconv is 64->64, conv_last 64->3)
+OUTC = 3
+
+
+def _g_in(wb: int) -> int:
+    """Left/right guard lanes of the input window: stage-1 tap offsets
+    reach (1+sr)*WB + sc ∈ [-1, 2*WB+1], and chunked slices may start up
+    to one chunk past FLAT1; 2*WB+2 rounded to the 128-lane tile covers
+    the right overhang, 128-aligned for the DMA destination offset."""
+    return -(-(2 * wb + 2) // 128) * 128
+
+
+def _g_t(wb: int) -> int:
+    """Guard lanes of the T scratch: stage-2 reads at WB + o with
+    o ∈ [-WB-1, WB+1]."""
+    return -(-(wb + 2) // 128) * 128
+
+
+def _hr_last_kernel(
+    x_hbm,
+    w1,
+    b1,
+    w9,
+    b3,
+    out_ref,
+    xg,
+    cols_ref,
+    cols2_ref,
+    t_ref,
+    sem,
+    *,
+    H: int,
+    W: int,
+    WB: int,
+    BLK: int,
+    ch: int = _CH,
+    db: bool = True,
+):
+    TOP = 2  # zero apron rows above tile row 0 (2-conv receptive field)
+    FLAT = (BLK + 4) * WB  # window rows: BLK + 2 z-halo + 2 tap reach
+    FLAT1 = (BLK + 2) * WB  # z rows: BLK + 1-row halo each side
+    GI = _g_in(WB)
+    GT = _g_t(WB)
+    padx = -(-FLAT // ch) * ch
+    padf1 = -(-FLAT1 // ch) * ch
+    flatd = -(-FLAT // 128) * 128
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(r * BLK * WB, flatd)],
+        xg.at[:, pl.ds(GI, flatd)],
+        sem,
+    )
+    cp.start()
+    xg[:, :GI] = jnp.zeros((NPH * NF, GI), xg.dtype)
+    xg[:, GI + flatd :] = jnp.zeros(
+        (NPH * NF, xg.shape[1] - GI - flatd), xg.dtype
+    )
+    t_ref[:, :GT] = jnp.zeros((NPH * 9 * OUTC, GT), t_ref.dtype)
+    t_ref[:, GT + FLAT1 :] = jnp.zeros(
+        (NPH * 9 * OUTC, t_ref.shape[1] - GT - FLAT1), t_ref.dtype
+    )
+    cp.wait()
+
+    # z-frame lane f = (zr, col); tile row = r*BLK + zr - 1
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT1), 1)
+    trow = r * BLK + ids // WB - 1
+    col = ids % WB
+    valid = (trow >= 0) & (trow < H) & (col >= 1) & (col <= W)
+
+    chunk_no = [0]
+    for P in range(4):
+        for Q in range(4):
+            p = 4 * P + Q
+            outs = []
+            for f0 in range(0, padf1, ch):
+                buf = cols2_ref if (db and chunk_no[0] % 2) else cols_ref
+                chunk_no[0] += 1
+                t = 0
+                for dy in (-1, 0, 1):
+                    sr, psr = (P + dy) // 4, (P + dy) % 4
+                    for dx in (-1, 0, 1):
+                        sc, psc = (Q + dx) // 4, (Q + dx) % 4
+                        ps = 4 * psr + psc
+                        o = (1 + sr) * WB + sc  # z-frame -> window-frame
+                        buf[t * NF : (t + 1) * NF, :] = xg[
+                            ps * NF : (ps + 1) * NF,
+                            GI + f0 + o : GI + f0 + o + ch,
+                        ]
+                        t += 1
+                outs.append(
+                    jax.lax.dot_general(
+                        w1[:],
+                        buf[: 9 * NF, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=(
+                            jax.lax.Precision.HIGHEST
+                            if buf.dtype == jnp.float32
+                            else jax.lax.Precision.DEFAULT
+                        ),
+                    )
+                )
+            zp = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1))[
+                :, :FLAT1
+            ]
+            zp = zp + b1[:]
+            zp = jnp.where(valid, jnp.where(zp >= 0, zp, zp * LRELU_SLOPE), 0.0)
+            t_ref[p * 9 * OUTC : (p + 1) * 9 * OUTC, GT : GT + FLAT1] = (
+                jax.lax.dot_general(
+                    w9[:],
+                    zp.astype(w9.dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=(
+                        jax.lax.Precision.HIGHEST
+                        if w9.dtype == jnp.float32
+                        else jax.lax.Precision.DEFAULT
+                    ),
+                )
+            )
+
+    # stage 2b: out phase (P, Q) row block = b3 + sum of 9 shifted T slices
+    NO = BLK * WB  # center lanes; center z-row zr = 1 => T offset WB
+    for P in range(4):
+        for Q in range(4):
+            p = 4 * P + Q
+            acc = jnp.broadcast_to(b3[:], (OUTC, NO)).astype(jnp.float32)
+            t = 0
+            for dy in (-1, 0, 1):
+                sr, psr = (P + dy) // 4, (P + dy) % 4
+                for dx in (-1, 0, 1):
+                    sc, psc = (Q + dx) // 4, (Q + dx) % 4
+                    ps = 4 * psr + psc
+                    o = GT + WB + sr * WB + sc
+                    acc = acc + t_ref[
+                        ps * 9 * OUTC + t * OUTC : ps * 9 * OUTC
+                        + (t + 1) * OUTC,
+                        o : o + NO,
+                    ]
+                    t += 1
+            out_ref[0, p * OUTC : (p + 1) * OUTC, :] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "WB", "BLK", "nblk", "ch", "db", "interpret"),
+)
+def hr_last_packed(
+    p2_flat: jnp.ndarray,  # [B, 1024, (2 + Hp + >=2)*WB + pad] operand dtype
+    w1: jnp.ndarray,  # [64, 576] HRconv, rows cout, cols tap-major x cin
+    b1: jnp.ndarray,  # [64, 1] f32
+    w9: jnp.ndarray,  # [27, 64] conv_last, rows tap-major x cout, cols cin
+    b3: jnp.ndarray,  # [3, 1] f32
+    *,
+    H: int,
+    W: int,
+    WB: int,
+    BLK: int,
+    nblk: int,
+    ch: int = _CH,
+    db: bool = True,
+    interpret: bool = False,
+):
+    """Fused packed-phase HRconv+lrelu+conv_last -> [B, 48, Hp*WB] f32
+    (rows = phase-major x out-channel; see module docstring)."""
+    B = p2_flat.shape[0]
+    FLAT1 = (BLK + 2) * WB
+    GI = _g_in(WB)
+    GT = _g_t(WB)
+    padx = -(-((BLK + 4) * WB) // ch) * ch
+    kernel = functools.partial(
+        _hr_last_kernel, H=H, W=W, WB=WB, BLK=BLK, ch=ch, db=db
+    )
+    rep = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blocked = pl.BlockSpec(
+        (1, NPH * OUTC, BLK * WB), lambda b, r: (b, 0, r),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nblk),
+        in_specs=[rep] + [vmem] * 4,
+        out_specs=blocked,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, NPH * OUTC, nblk * BLK * WB), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NPH * NF, padx + 2 * GI), p2_flat.dtype),
+            pltpu.VMEM((9 * NF, ch), p2_flat.dtype),
+            pltpu.VMEM((9 * NF, ch) if db else (8, 128), p2_flat.dtype),
+            pltpu.VMEM((NPH * 9 * OUTC, FLAT1 + 2 * GT), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(p2_flat, w1, b1, w9, b3)
+    return out
+
+
+def pack_tail_weights(w_hr, b_hr, w_last, b_last, dtype=jnp.bfloat16):
+    """HWIO tail weights -> kernel format (tap-major contraction order
+    matching the kernel's cols/T construction). numpy in, numpy out."""
+    xp = np if isinstance(w_hr, np.ndarray) else jnp
+    w1 = xp.moveaxis(w_hr, -1, 0).reshape(NF, 9 * NF).astype(dtype)
+    w9 = (
+        xp.moveaxis(w_last, -2, -1)  # [3, 3, cout, cin]
+        .reshape(9 * OUTC, NF)
+        .astype(dtype)
+    )
+    return (
+        w1,
+        xp.asarray(b_hr).astype(jnp.float32).reshape(NF, 1),
+        w9,
+        xp.asarray(b_last).astype(jnp.float32).reshape(OUTC, 1),
+    )

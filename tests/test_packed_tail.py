@@ -137,3 +137,59 @@ def test_packed_tail_full_forward_pallas_interpret():
         R.PACKED_TAIL = False
         K.rdb_apply = orig
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+@pytest.mark.parametrize("H,W", [(7, 9), (12, 12), (5, 16)])
+def test_packed_tail_kernel_matches_einsum_form(H, W):
+    """ops.tail_kernel.hr_last_packed (interpret): the fused Pallas
+    HRconv+conv_last must match the 32-einsum packed form — same taps,
+    f32 accumulation, zero-pad borders, odd/non-square sizes."""
+    import functools
+
+    from realsr_tpu.ops import tail_kernel as TK
+
+
+    spec = R.RRDBNetSpec(num_rrdb=1, nf=64, gc=32)
+    params = _tail_params(64, spec.out_ch, seed=11)
+    rng = np.random.default_rng(12)
+    fea = rng.normal(0, 1, (2, H, W, 64)).astype(np.float32)
+    body = rng.normal(0, 1, (2, H, W, 64)).astype(np.float32)
+
+    orig = TK.hr_last_packed
+    TK.hr_last_packed = functools.partial(orig, interpret=True)
+    try:
+        ref = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+        R.PACKED_TAIL_KERNEL = True
+        got = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+    finally:
+        R.PACKED_TAIL_KERNEL = False
+        TK.hr_last_packed = orig
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_packed_tail_kernel_bf16_class():
+    """Mixed dtypes through the kernel: stays in the einsum form's
+    bf16-operand class."""
+    import functools
+
+    from realsr_tpu.ops import tail_kernel as TK
+
+    spec = R.RRDBNetSpec(num_rrdb=1, nf=64, gc=32)
+    params = _tail_params(64, spec.out_ch, seed=13)
+    rng = np.random.default_rng(14)
+    fea = rng.normal(0, 1, (1, 8, 10, 64)).astype(np.float32)
+    body = rng.normal(0, 1, (1, 8, 10, 64)).astype(np.float32)
+
+    exact = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+    ein16 = _run(params, fea, body, spec, True, jnp.float32, jnp.bfloat16)
+    orig = TK.hr_last_packed
+    TK.hr_last_packed = functools.partial(orig, interpret=True)
+    try:
+        R.PACKED_TAIL_KERNEL = True
+        ker16 = _run(params, fea, body, spec, True, jnp.float32, jnp.bfloat16)
+    finally:
+        R.PACKED_TAIL_KERNEL = False
+        TK.hr_last_packed = orig
+    e_ein = np.abs(ein16 - exact).max()
+    e_ker = np.abs(ker16 - exact).max()
+    assert e_ker < max(2.0 * e_ein, 1e-3), (e_ker, e_ein)

@@ -55,45 +55,48 @@ def main():
                  "b": jax.random.normal(ks[9], (3,)) * 0.01},
     }
 
-    def build(packed):
+    VARIANTS = ("interleaved", "packed", "packed_kernel")
+
+    def build(name):
         def f(p, a, bd):
-            old = R.PACKED_TAIL
-            R.PACKED_TAIL = packed
+            old = (R.PACKED_TAIL, R.PACKED_TAIL_KERNEL)
+            R.PACKED_TAIL = name != "interleaved"
+            R.PACKED_TAIL_KERNEL = name == "packed_kernel"
             try:
                 return R._pallas_tail(
                     p, a, bd, spec, jnp.float32, od, od
                 )
             finally:
-                R.PACKED_TAIL = old
+                R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = old
 
         return jax.jit(f)
 
     fns, outs = {}, {}
-    for name in ("interleaved", "packed"):
-        fns[name] = build(name == "packed")
+    for name in VARIANTS:
+        fns[name] = build(name)
         t0 = time.perf_counter()
         outs[name] = fns[name](params, fea, body)
         fence(outs[name])
         print(f"{name}: compile+first {time.perf_counter() - t0:.1f}s",
               flush=True)
-    d = float(jnp.max(jnp.abs(outs["interleaved"] - outs["packed"])))
-    print(f"closeness: max|diff| = {d:.3e}", flush=True)
+    for name in VARIANTS[1:]:
+        d = float(jnp.max(jnp.abs(outs["interleaved"] - outs[name])))
+        print(f"closeness {name}: max|diff| = {d:.3e}", flush=True)
     del outs
 
-    best = {"interleaved": 1e9, "packed": 1e9}
+    best = {n: 1e9 for n in VARIANTS}
     for rnd in range(rounds):
-        for name in ("interleaved", "packed"):
+        for name in VARIANTS:
             t0 = time.perf_counter()
             y = fns[name](params, fea, body)
             fence(y)
             dt = time.perf_counter() - t0
             best[name] = min(best[name], dt)
             print(f"  r{rnd} {name}: {dt*1e3:.1f} ms", flush=True)
-    print(
-        f"min interleaved {best['interleaved']*1e3:.1f} ms | packed "
-        f"{best['packed']*1e3:.1f} ms | speedup "
-        f"{best['interleaved']/best['packed']:.3f}x"
-    )
+    base = best["interleaved"]
+    print(" | ".join(
+        f"{n} {best[n]*1e3:.1f} ms ({base/best[n]:.3f}x)" for n in VARIANTS
+    ))
 
 
 if __name__ == "__main__":
