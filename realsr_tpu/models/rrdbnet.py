@@ -593,8 +593,8 @@ def _packed_tail(params, fea, spec, od, tail_dt):
         out = TK.hr_last_packed(
             flat, w1, b1p, w9, b3p, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk,
         )
-        img = RK.from_flat(out, H, W, WB)  # [B, H, W, 48] phase-major
-        grid = img.reshape(B, H, W, 4, 4, spec.out_ch)
+        img = RK.from_flat(out, H, W, WB)  # [B, H, W, 16*TC] phase-major
+        grid = img.reshape(B, H, W, 4, 4, TK.TC)[..., : spec.out_ch]
         grid = jnp.transpose(grid, (0, 1, 3, 2, 4, 5))
         return grid.reshape(B, 4 * H, 4 * W, spec.out_ch)
 

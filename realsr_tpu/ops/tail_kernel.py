@@ -22,12 +22,12 @@ lanes, zero guard cols, 2-row zero apron):
     tile. The z activations stay VALUES — they feed stage 2 directly and
     never touch HBM (the interleaved form round-trips the 1.25 GB z
     tensor at the production chunk).
-  stage 2 (conv_last, scatter/W9-packed): T_p = w9 [27, 64] @ z_p — each
-    source phase's contribution through all 9 taps in one K=64 matmul
-    (M=27 fills one MXU tile; the naive per-output-phase K=576, M=3
-    matmul would cost 9x the MXU passes for 3 rows of output). T is
-    stored to a lane-guarded scratch; each output phase then sums its 9
-    statically-shifted [3, lanes] T slices on the VPU.
+  stage 2 (conv_last, scatter/W9-packed): T_p = w9 [9*TC, 64] @ z_p —
+    each source phase's contribution through all 9 taps in one K=64
+    matmul (one MXU M-tile; the naive per-output-phase K=576, M=3 matmul
+    would cost 9x the MXU passes for 3 rows of output). T is stored to a
+    lane-guarded scratch; each output phase then sums its 9
+    statically-shifted [TC, lanes] T slices on the VPU.
 
 z is computed with a 1-row halo (recompute, like the RDB kernel's 5-row
 halo) so conv_last's cross-block taps need no inter-block communication;
@@ -54,6 +54,11 @@ from realsr_tpu.ops.rdb_kernel import _CH, LRELU_SLOPE
 NPH = 16  # 4x4 output phases
 NF = 64  # tail channel count (x4.param HRconv is 64->64, conv_last 64->3)
 OUTC = 3
+# conv_last's 3 output channels padded to one 8-sublane tile: every T/out
+# slice offset stays a multiple of 8 (the RDB kernel never sublane-slices
+# off-tile either; interpret mode would not catch a Mosaic alignment
+# failure). w9/b3 carry 5 zero rows per tap; the XLA side slices [:3].
+TC = 8
 
 
 def _g_in(wb: int) -> int:
@@ -111,9 +116,9 @@ def _hr_last_kernel(
     xg[:, GI + flatd :] = jnp.zeros(
         (NPH * NF, xg.shape[1] - GI - flatd), xg.dtype
     )
-    t_ref[:, :GT] = jnp.zeros((NPH * 9 * OUTC, GT), t_ref.dtype)
+    t_ref[:, :GT] = jnp.zeros((NPH * 9 * TC, GT), t_ref.dtype)
     t_ref[:, GT + FLAT1 :] = jnp.zeros(
-        (NPH * 9 * OUTC, t_ref.shape[1] - GT - FLAT1), t_ref.dtype
+        (NPH * 9 * TC, t_ref.shape[1] - GT - FLAT1), t_ref.dtype
     )
     cp.wait()
 
@@ -161,7 +166,7 @@ def _hr_last_kernel(
             ]
             zp = zp + b1[:]
             zp = jnp.where(valid, jnp.where(zp >= 0, zp, zp * LRELU_SLOPE), 0.0)
-            t_ref[p * 9 * OUTC : (p + 1) * 9 * OUTC, GT : GT + FLAT1] = (
+            t_ref[p * 9 * TC : (p + 1) * 9 * TC, GT : GT + FLAT1] = (
                 jax.lax.dot_general(
                     w9[:],
                     zp.astype(w9.dtype),
@@ -180,7 +185,7 @@ def _hr_last_kernel(
     for P in range(4):
         for Q in range(4):
             p = 4 * P + Q
-            acc = jnp.broadcast_to(b3[:], (OUTC, NO)).astype(jnp.float32)
+            acc = jnp.broadcast_to(b3[:], (TC, NO)).astype(jnp.float32)
             t = 0
             for dy in (-1, 0, 1):
                 sr, psr = (P + dy) // 4, (P + dy) % 4
@@ -189,12 +194,12 @@ def _hr_last_kernel(
                     ps = 4 * psr + psc
                     o = GT + WB + sr * WB + sc
                     acc = acc + t_ref[
-                        ps * 9 * OUTC + t * OUTC : ps * 9 * OUTC
-                        + (t + 1) * OUTC,
+                        ps * 9 * TC + t * TC : ps * 9 * TC
+                        + (t + 1) * TC,
                         o : o + NO,
                     ]
                     t += 1
-            out_ref[0, p * OUTC : (p + 1) * OUTC, :] = acc
+            out_ref[0, p * TC : (p + 1) * TC, :] = acc
 
 
 @functools.partial(
@@ -205,8 +210,8 @@ def hr_last_packed(
     p2_flat: jnp.ndarray,  # [B, 1024, (2 + Hp + >=2)*WB + pad] operand dtype
     w1: jnp.ndarray,  # [64, 576] HRconv, rows cout, cols tap-major x cin
     b1: jnp.ndarray,  # [64, 1] f32
-    w9: jnp.ndarray,  # [27, 64] conv_last, rows tap-major x cout, cols cin
-    b3: jnp.ndarray,  # [3, 1] f32
+    w9: jnp.ndarray,  # [9*TC, 64] conv_last, rows tap-major x padded cout
+    b3: jnp.ndarray,  # [TC, 1] f32 (rows >= OUTC are zero)
     *,
     H: int,
     W: int,
@@ -217,8 +222,8 @@ def hr_last_packed(
     db: bool = True,
     interpret: bool = False,
 ):
-    """Fused packed-phase HRconv+lrelu+conv_last -> [B, 48, Hp*WB] f32
-    (rows = phase-major x out-channel; see module docstring)."""
+    """Fused packed-phase HRconv+lrelu+conv_last -> [B, NPH*TC, Hp*WB] f32
+    (rows = phase-major x TC-padded out-channel; see module docstring)."""
     B = p2_flat.shape[0]
     FLAT1 = (BLK + 2) * WB
     GI = _g_in(WB)
@@ -230,7 +235,7 @@ def hr_last_packed(
     rep = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     blocked = pl.BlockSpec(
-        (1, NPH * OUTC, BLK * WB), lambda b, r: (b, 0, r),
+        (1, NPH * TC, BLK * WB), lambda b, r: (b, 0, r),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
@@ -239,13 +244,13 @@ def hr_last_packed(
         in_specs=[rep] + [vmem] * 4,
         out_specs=blocked,
         out_shape=jax.ShapeDtypeStruct(
-            (B, NPH * OUTC, nblk * BLK * WB), jnp.float32
+            (B, NPH * TC, nblk * BLK * WB), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((NPH * NF, padx + 2 * GI), p2_flat.dtype),
             pltpu.VMEM((9 * NF, ch), p2_flat.dtype),
             pltpu.VMEM((9 * NF, ch) if db else (8, 128), p2_flat.dtype),
-            pltpu.VMEM((NPH * 9 * OUTC, FLAT1 + 2 * GT), jnp.float32),
+            pltpu.VMEM((NPH * 9 * TC, FLAT1 + 2 * GT), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -261,14 +266,18 @@ def pack_tail_weights(w_hr, b_hr, w_last, b_last, dtype=jnp.bfloat16):
     matching the kernel's cols/T construction). numpy in, numpy out."""
     xp = np if isinstance(w_hr, np.ndarray) else jnp
     w1 = xp.moveaxis(w_hr, -1, 0).reshape(NF, 9 * NF).astype(dtype)
+    w9t = xp.moveaxis(w_last, -2, -1)  # [3, 3, cout, cin]
     w9 = (
-        xp.moveaxis(w_last, -2, -1)  # [3, 3, cout, cin]
-        .reshape(9 * OUTC, NF)
+        xp.pad(w9t, ((0, 0), (0, 0), (0, TC - OUTC), (0, 0)))
+        .reshape(9 * TC, NF)
         .astype(dtype)
     )
+    b3 = xp.pad(
+        xp.asarray(b_last).astype(jnp.float32), ((0, TC - OUTC),)
+    ).reshape(TC, 1)
     return (
         w1,
         xp.asarray(b_hr).astype(jnp.float32).reshape(NF, 1),
         w9,
-        xp.asarray(b_last).astype(jnp.float32).reshape(OUTC, 1),
+        b3,
     )
