@@ -313,12 +313,15 @@ UPCONV_PHASE = False
 # before any default change.
 PACKED_TAIL = False
 
-# With PACKED_TAIL: run HRconv + conv_last as the fused Pallas kernel
-# (ops.tail_kernel.hr_last_packed — z never leaves VMEM, one shared
-# [64, 576] weight for all 16 phases, W9-packed conv_last) instead of the
-# 32 phase-gathered XLA einsums. Same tap values; accumulation order
-# differs like any conv-vs-matmul regrouping.
-PACKED_TAIL_KERNEL = False
+# With PACKED_TAIL: run the deep tail stages as the fused Pallas kernel
+# (ops.tail_kernel) instead of phase-gathered XLA einsums. Same tap
+# values; accumulation order differs like any conv-vs-matmul regrouping.
+#   0/False — all-einsum packed tail
+#   1       — HRconv+conv_last fused (z never leaves VMEM; W9-packed
+#             conv_last; one shared [64, 576] weight for all 16 phases)
+#   2       — up2+HRconv+conv_last fused (P2 also stays in VMEM — the
+#             einsum form materializes ~2.5 GB of P2 per production chunk)
+PACKED_TAIL_KERNEL = 0
 
 
 def _upconv(x, w, b, op_dtype=None):
@@ -553,6 +556,54 @@ def _packed_tail(params, fea, spec, od, tail_dt):
         for a in (0, 1)
     ]
 
+    # kernel modes (ops.tail_kernel is fixed at the production nf=64,
+    # out_ch=3 shape; other specs fall back to the einsum form)
+    kern = PACKED_TAIL_KERNEL
+    if kern and not (P1[0][0].shape[-1] == 64 and spec.out_ch == 3):
+        kern = 0
+
+    def _kernel_unpack(out, RK, TK, B, H, W, WB):
+        img = RK.from_flat(out, H, W, WB)  # [B, H, W, 16*TC] phase-major
+        grid = img.reshape(B, H, W, 4, 4, TK.TC)[..., : spec.out_ch]
+        grid = jnp.transpose(grid, (0, 1, 3, 2, 4, 5))
+        return grid.reshape(B, 4 * H, 4 * W, spec.out_ch)
+
+    if kern == 2:
+        # fused up2+HRconv+conv_last: P2 never leaves VMEM
+        from realsr_tpu.ops import rdb_kernel as RK
+        from realsr_tpu.ops import tail_kernel as TK
+
+        B, H, W = P1[0][0].shape[:3]
+        WB = RK.round_wb(W)
+        BLK, nblk = RK.plan_rows(H, target_blk=min(24, max(4, H)))
+        packed1 = jnp.concatenate(
+            [P1[a][b] for a in (0, 1) for b in (0, 1)], axis=-1
+        ).astype(od)
+        flat1 = RK.to_flat(packed1, WB, BLK * nblk, top=3)
+        k2k = _phase_split(params["up"]["w"][1])
+        w2 = jnp.stack(
+            [
+                jnp.transpose(
+                    jnp.stack(
+                        [k2k[c][d][s, t] for s in (0, 1) for t in (0, 1)]
+                    ),  # [4, cin, cout]
+                    (2, 0, 1),
+                ).reshape(TK.NF, 4 * TK.NF)
+                for c in (0, 1)
+                for d in (0, 1)
+            ]
+        ).astype(od)
+        b2k = params["up"]["b"][1].astype(jnp.float32).reshape(TK.NF, 1)
+        w1, b1p, w9, b3p = TK.pack_tail_weights(
+            params["hr"]["w"], params["hr"]["b"],
+            params["last"]["w"], params["last"]["b"], dtype=od,
+        )
+        out = TK.up2_hr_last_packed(
+            flat1, w2, b2k, w1, b1p, w9, b3p,
+            H=H, W=W, WB=WB, BLK=BLK, nblk=nblk,
+        )
+        return _kernel_unpack(out, RK, TK, B, H, W, WB)
+
     # up2: 4 packed phases -> 16; output phase (2a+c, 2b+d)
     k2 = _phase_split(params["up"]["w"][1])
     b2 = params["up"]["b"][1]
@@ -574,7 +625,7 @@ def _packed_tail(params, fea, spec, od, tail_dt):
                         srcs, rows, b2, LRELU_SLOPE
                     )
 
-    if PACKED_TAIL_KERNEL:
+    if kern:
         from realsr_tpu.ops import rdb_kernel as RK
         from realsr_tpu.ops import tail_kernel as TK
 
@@ -593,10 +644,7 @@ def _packed_tail(params, fea, spec, od, tail_dt):
         out = TK.hr_last_packed(
             flat, w1, b1p, w9, b3p, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk,
         )
-        img = RK.from_flat(out, H, W, WB)  # [B, H, W, 16*TC] phase-major
-        grid = img.reshape(B, H, W, 4, 4, TK.TC)[..., : spec.out_ch]
-        grid = jnp.transpose(grid, (0, 1, 3, 2, 4, 5))
-        return grid.reshape(B, 4 * H, 4 * W, spec.out_ch)
+        return _kernel_unpack(out, RK, TK, B, H, W, WB)
 
     # HRconv + conv_last: 3x3 convs at 4x resolution in phase space
     def conv_phase(P, w, b, slope, store):

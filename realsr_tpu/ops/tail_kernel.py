@@ -75,8 +75,24 @@ def _g_t(wb: int) -> int:
     return -(-(wb + 2) // 128) * 128
 
 
-def _hr_last_kernel(
+def _mm(w, buf, k):
+    return jax.lax.dot_general(
+        w,
+        buf[:k, :],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if buf.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+    )
+
+
+def _tail_kernel(
     x_hbm,
+    w2,
+    b2,
     w1,
     b1,
     w9,
@@ -86,6 +102,7 @@ def _hr_last_kernel(
     cols_ref,
     cols2_ref,
     t_ref,
+    p2_ref,
     sem,
     *,
     H: int,
@@ -94,14 +111,22 @@ def _hr_last_kernel(
     BLK: int,
     ch: int = _CH,
     db: bool = True,
+    with_up2: bool = False,
 ):
-    TOP = 2  # zero apron rows above tile row 0 (2-conv receptive field)
-    FLAT = (BLK + 4) * WB  # window rows: BLK + 2 z-halo + 2 tap reach
-    FLAT1 = (BLK + 2) * WB  # z rows: BLK + 1-row halo each side
+    """with_up2=False: x_hbm is packed P2 (16 phases, 2-row apron), p2_ref
+    is a dummy, w2/b2 unused. with_up2=True: x_hbm is packed P1 (4 phases,
+    3-row apron); up2 computes P2 into the guarded p2_ref scratch first,
+    then HRconv reads p2_ref instead of the window."""
+    # frames, innermost out: z rows = BLK + 1-row halo each side (conv_last
+    # taps); P2 rows = BLK + 2 each side (z taps); window adds tap reach.
+    FLAT1 = (BLK + 2) * WB
+    FLAT2 = (BLK + 4) * WB
+    FLAT = (BLK + 6) * WB if with_up2 else FLAT2
+    cin = 4 * NF if with_up2 else NPH * NF
     GI = _g_in(WB)
     GT = _g_t(WB)
-    padx = -(-FLAT // ch) * ch
     padf1 = -(-FLAT1 // ch) * ch
+    padf2 = -(-FLAT2 // ch) * ch
     flatd = -(-FLAT // 128) * 128
     b = pl.program_id(0)
     r = pl.program_id(1)
@@ -112,72 +137,100 @@ def _hr_last_kernel(
         sem,
     )
     cp.start()
-    xg[:, :GI] = jnp.zeros((NPH * NF, GI), xg.dtype)
-    xg[:, GI + flatd :] = jnp.zeros(
-        (NPH * NF, xg.shape[1] - GI - flatd), xg.dtype
-    )
+    xg[:, :GI] = jnp.zeros((cin, GI), xg.dtype)
+    xg[:, GI + flatd :] = jnp.zeros((cin, xg.shape[1] - GI - flatd), xg.dtype)
     t_ref[:, :GT] = jnp.zeros((NPH * 9 * TC, GT), t_ref.dtype)
     t_ref[:, GT + FLAT1 :] = jnp.zeros(
         (NPH * 9 * TC, t_ref.shape[1] - GT - FLAT1), t_ref.dtype
     )
+    if with_up2:
+        p2_ref[:, :GI] = jnp.zeros((NPH * NF, GI), p2_ref.dtype)
+        p2_ref[:, GI + FLAT2 :] = jnp.zeros(
+            (NPH * NF, p2_ref.shape[1] - GI - FLAT2), p2_ref.dtype
+        )
     cp.wait()
 
-    # z-frame lane f = (zr, col); tile row = r*BLK + zr - 1
-    ids = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT1), 1)
-    trow = r * BLK + ids // WB - 1
-    col = ids % WB
-    valid = (trow >= 0) & (trow < H) & (col >= 1) & (col <= W)
+    def frame_mask(flat, top):
+        # frame lane f = (row, col); tile row = r*BLK + row - top
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, flat), 1)
+        trow = r * BLK + ids // WB - top
+        col = ids % WB
+        return (trow >= 0) & (trow < H) & (col >= 1) & (col <= W)
 
     chunk_no = [0]
+
+    def next_buf():
+        buf = cols2_ref if (db and chunk_no[0] % 2) else cols_ref
+        chunk_no[0] += 1
+        return buf
+
+    if with_up2:
+        # up2: P2 phase (2a+c, 2b+d) taps the 2x grid at row 2i+(a+c-1+s),
+        # i.e. P1 phase m%2 at base shift (m - m%2)/2; weight k2[c][d]
+        # shared across (a, b) (models.rrdbnet._packed_tail derivation).
+        valid2 = frame_mask(FLAT2, 2)
+        for A in range(4):
+            a, c = A // 2, A % 2
+            for B_ in range(4):
+                bb, d = B_ // 2, B_ % 2
+                p = 4 * A + B_
+                outs = []
+                for f0 in range(0, padf2, ch):
+                    buf = next_buf()
+                    t = 0
+                    for s in (0, 1):
+                        m = a + c - 1 + s
+                        qr, sr = m % 2, (m - m % 2) // 2
+                        for tt in (0, 1):
+                            n = bb + d - 1 + tt
+                            qc, sc = n % 2, (n - n % 2) // 2
+                            ps = 2 * qr + qc
+                            o = (1 + sr) * WB + sc  # P2-frame -> window
+                            buf[t * NF : (t + 1) * NF, :] = xg[
+                                ps * NF : (ps + 1) * NF,
+                                GI + f0 + o : GI + f0 + o + ch,
+                            ]
+                            t += 1
+                    outs.append(_mm(w2[2 * c + d], buf, 4 * NF))
+                pp = (
+                    outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+                )[:, :FLAT2]
+                pp = pp + b2[:]
+                pp = jnp.where(
+                    valid2, jnp.where(pp >= 0, pp, pp * LRELU_SLOPE), 0.0
+                )
+                p2_ref[p * NF : (p + 1) * NF, GI : GI + FLAT2] = pp.astype(
+                    p2_ref.dtype
+                )
+
+    src = p2_ref if with_up2 else xg
+    valid = frame_mask(FLAT1, 1)
     for P in range(4):
         for Q in range(4):
             p = 4 * P + Q
             outs = []
             for f0 in range(0, padf1, ch):
-                buf = cols2_ref if (db and chunk_no[0] % 2) else cols_ref
-                chunk_no[0] += 1
+                buf = next_buf()
                 t = 0
                 for dy in (-1, 0, 1):
                     sr, psr = (P + dy) // 4, (P + dy) % 4
                     for dx in (-1, 0, 1):
                         sc, psc = (Q + dx) // 4, (Q + dx) % 4
                         ps = 4 * psr + psc
-                        o = (1 + sr) * WB + sc  # z-frame -> window-frame
-                        buf[t * NF : (t + 1) * NF, :] = xg[
+                        o = (1 + sr) * WB + sc  # z-frame -> src-frame
+                        buf[t * NF : (t + 1) * NF, :] = src[
                             ps * NF : (ps + 1) * NF,
                             GI + f0 + o : GI + f0 + o + ch,
                         ]
                         t += 1
-                outs.append(
-                    jax.lax.dot_general(
-                        w1[:],
-                        buf[: 9 * NF, :],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=(
-                            jax.lax.Precision.HIGHEST
-                            if buf.dtype == jnp.float32
-                            else jax.lax.Precision.DEFAULT
-                        ),
-                    )
-                )
+                outs.append(_mm(w1[:], buf, 9 * NF))
             zp = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1))[
                 :, :FLAT1
             ]
             zp = zp + b1[:]
             zp = jnp.where(valid, jnp.where(zp >= 0, zp, zp * LRELU_SLOPE), 0.0)
-            t_ref[p * 9 * TC : (p + 1) * 9 * TC, GT : GT + FLAT1] = (
-                jax.lax.dot_general(
-                    w9[:],
-                    zp.astype(w9.dtype),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=(
-                        jax.lax.Precision.HIGHEST
-                        if w9.dtype == jnp.float32
-                        else jax.lax.Precision.DEFAULT
-                    ),
-                )
+            t_ref[p * 9 * TC : (p + 1) * 9 * TC, GT : GT + FLAT1] = _mm(
+                w9[:], zp.astype(w9.dtype), zp.shape[0]
             )
 
     # stage 2b: out phase (P, Q) row block = b3 + sum of 9 shifted T slices
@@ -202,6 +255,55 @@ def _hr_last_kernel(
             out_ref[0, p * TC : (p + 1) * TC, :] = acc
 
 
+def _call_tail_kernel(
+    x_flat, w2, b2, w1, b1, w9, b3, *, H, W, WB, BLK, nblk, ch, db,
+    with_up2, interpret,
+):
+    B = x_flat.shape[0]
+    FLAT1 = (BLK + 2) * WB
+    FLAT2 = (BLK + 4) * WB
+    FLAT = (BLK + 6) * WB if with_up2 else FLAT2
+    cin = 4 * NF if with_up2 else NPH * NF
+    GI = _g_in(WB)
+    GT = _g_t(WB)
+    padx = -(-FLAT // ch) * ch
+    padf2 = -(-FLAT2 // ch) * ch
+    kernel = functools.partial(
+        _tail_kernel, H=H, W=W, WB=WB, BLK=BLK, ch=ch, db=db,
+        with_up2=with_up2,
+    )
+    rep = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blocked = pl.BlockSpec(
+        (1, NPH * TC, BLK * WB), lambda b, r: (b, 0, r),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nblk),
+        in_specs=[rep] + [vmem] * 6,
+        out_specs=blocked,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, NPH * TC, nblk * BLK * WB), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cin, padx + 2 * GI), x_flat.dtype),
+            pltpu.VMEM((9 * NF, ch), x_flat.dtype),
+            pltpu.VMEM((9 * NF, ch) if db else (8, 128), x_flat.dtype),
+            pltpu.VMEM((NPH * 9 * TC, FLAT1 + 2 * GT), jnp.float32),
+            pltpu.VMEM(
+                (NPH * NF, padf2 + 2 * GI) if with_up2 else (8, 128),
+                x_flat.dtype,
+            ),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_flat, w2, b2, w1, b1, w9, b3)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "WB", "BLK", "nblk", "ch", "db", "interpret"),
@@ -224,41 +326,42 @@ def hr_last_packed(
 ):
     """Fused packed-phase HRconv+lrelu+conv_last -> [B, NPH*TC, Hp*WB] f32
     (rows = phase-major x TC-padded out-channel; see module docstring)."""
-    B = p2_flat.shape[0]
-    FLAT1 = (BLK + 2) * WB
-    GI = _g_in(WB)
-    GT = _g_t(WB)
-    padx = -(-((BLK + 4) * WB) // ch) * ch
-    kernel = functools.partial(
-        _hr_last_kernel, H=H, W=W, WB=WB, BLK=BLK, ch=ch, db=db
+    dummy = jnp.zeros((8, 128), p2_flat.dtype)
+    return _call_tail_kernel(
+        p2_flat, dummy, dummy, w1, b1, w9, b3, H=H, W=W, WB=WB, BLK=BLK,
+        nblk=nblk, ch=ch, db=db, with_up2=False, interpret=interpret,
     )
-    rep = pl.BlockSpec(memory_space=pl.ANY)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    blocked = pl.BlockSpec(
-        (1, NPH * TC, BLK * WB), lambda b, r: (b, 0, r),
-        memory_space=pltpu.VMEM,
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "WB", "BLK", "nblk", "ch", "db", "interpret"),
+)
+def up2_hr_last_packed(
+    p1_flat: jnp.ndarray,  # [B, 256, (3 + Hp + >=3)*WB + pad] operand dtype
+    w2: jnp.ndarray,  # [4, 64, 256] up2 tap-sum kernels, index 2c+d
+    b2: jnp.ndarray,  # [64, 1] f32
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w9: jnp.ndarray,
+    b3: jnp.ndarray,
+    *,
+    H: int,
+    W: int,
+    WB: int,
+    BLK: int,
+    nblk: int,
+    ch: int = _CH,
+    db: bool = True,
+    interpret: bool = False,
+):
+    """Fused packed-phase up2+HRconv+conv_last from the 4-phase P1 layout:
+    P2 is computed in VMEM (never materialized to HBM — 2.5 GB at the
+    production chunk in the einsum form) and consumed in place."""
+    return _call_tail_kernel(
+        p1_flat, w2, b2, w1, b1, w9, b3, H=H, W=W, WB=WB, BLK=BLK,
+        nblk=nblk, ch=ch, db=db, with_up2=True, interpret=interpret,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, nblk),
-        in_specs=[rep] + [vmem] * 4,
-        out_specs=blocked,
-        out_shape=jax.ShapeDtypeStruct(
-            (B, NPH * TC, nblk * BLK * WB), jnp.float32
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((NPH * NF, padx + 2 * GI), p2_flat.dtype),
-            pltpu.VMEM((9 * NF, ch), p2_flat.dtype),
-            pltpu.VMEM((9 * NF, ch) if db else (8, 128), p2_flat.dtype),
-            pltpu.VMEM((NPH * 9 * TC, FLAT1 + 2 * GT), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(p2_flat, w1, b1, w9, b3)
-    return out
 
 
 def pack_tail_weights(w_hr, b_hr, w_last, b_last, dtype=jnp.bfloat16):

@@ -193,3 +193,46 @@ def test_packed_tail_kernel_bf16_class():
     e_ein = np.abs(ein16 - exact).max()
     e_ker = np.abs(ker16 - exact).max()
     assert e_ker < max(2.0 * e_ein, 1e-3), (e_ker, e_ein)
+
+
+@pytest.mark.parametrize("H,W", [(7, 9), (12, 12)])
+def test_packed_tail_kernel_up2_matches_einsum_form(H, W):
+    """Mode 2 (up2+HRconv+conv_last fused, interpret) must match the
+    all-einsum packed form."""
+    import functools
+
+    from realsr_tpu.ops import tail_kernel as TK
+
+    spec = R.RRDBNetSpec(num_rrdb=1, nf=64, gc=32)
+    params = _tail_params(64, spec.out_ch, seed=15)
+    rng = np.random.default_rng(16)
+    fea = rng.normal(0, 1, (2, H, W, 64)).astype(np.float32)
+    body = rng.normal(0, 1, (2, H, W, 64)).astype(np.float32)
+
+    orig = TK.up2_hr_last_packed
+    TK.up2_hr_last_packed = functools.partial(orig, interpret=True)
+    try:
+        ref = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+        R.PACKED_TAIL_KERNEL = 2
+        got = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+    finally:
+        R.PACKED_TAIL_KERNEL = 0
+        TK.up2_hr_last_packed = orig
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_packed_tail_kernel_falls_back_off_production_shape():
+    """Non-production nf: the kernel flag must fall back to the einsum
+    form (the kernel is fixed at nf=64/out_ch=3), not crash."""
+    spec = R.RRDBNetSpec(num_rrdb=1, nf=16, gc=8)
+    params = _tail_params(16, spec.out_ch, seed=17)
+    rng = np.random.default_rng(18)
+    fea = rng.normal(0, 1, (1, 6, 6, 16)).astype(np.float32)
+    body = rng.normal(0, 1, (1, 6, 6, 16)).astype(np.float32)
+    ref = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+    try:
+        R.PACKED_TAIL_KERNEL = 2
+        got = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+    finally:
+        R.PACKED_TAIL_KERNEL = 0
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)

@@ -55,13 +55,14 @@ def main():
                  "b": jax.random.normal(ks[9], (3,)) * 0.01},
     }
 
-    VARIANTS = ("interleaved", "packed", "packed_kernel")
+    VARIANTS = ("interleaved", "packed", "packed_kernel", "packed_kernel2")
+    KMODE = {"packed_kernel": 1, "packed_kernel2": 2}
 
     def build(name):
         def f(p, a, bd):
             old = (R.PACKED_TAIL, R.PACKED_TAIL_KERNEL)
             R.PACKED_TAIL = name != "interleaved"
-            R.PACKED_TAIL_KERNEL = name == "packed_kernel"
+            R.PACKED_TAIL_KERNEL = KMODE.get(name, 0)
             try:
                 return R._pallas_tail(
                     p, a, bd, spec, jnp.float32, od, od
