@@ -218,12 +218,17 @@ class RealSR:
             variant = "dense"
         self.variant = variant
         if os.environ.get("REALSR_TPU_PACKED_TAIL"):
-            # experimental packed-phase tail (trace-time module flag; see
+            # experimental packed-phase tail (trace-time module flags; see
             # models/rrdbnet.PACKED_TAIL and BASELINE.md round-3 notes) —
-            # env-reachable so bench.py / the CLIs can A/B it end-to-end
+            # env-reachable so bench.py / the CLIs can A/B it end-to-end.
+            # Values: 0 off | 1 einsum form | 2 +HR/last Pallas kernel |
+            # 3 +up2 fused in-kernel.
             from realsr_tpu.models import rrdbnet as _R
 
-            _R.PACKED_TAIL = os.environ["REALSR_TPU_PACKED_TAIL"] != "0"
+            lvl = os.environ["REALSR_TPU_PACKED_TAIL"]
+            lvl = int(lvl) if lvl.isdigit() else 1
+            _R.PACKED_TAIL = lvl > 0
+            _R.PACKED_TAIL_KERNEL = max(0, lvl - 1)
         self._model_paths = (parampath, modelpath)  # for process_cpu's sibling
         self.bundle = load_model(
             parampath, modelpath, storage_dtype=dtype, variant=variant,
