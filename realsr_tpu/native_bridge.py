@@ -33,6 +33,26 @@ _handles: Dict[int, Tuple[object, object]] = {}  # handle -> (engine, dev buf)
 _next_handle = itertools.count(1)
 
 
+def _apply_platform_env() -> None:
+    """Make an explicit JAX_PLATFORMS env effective.
+
+    On deployments where a sitecustomize hook registers the accelerator
+    plugin at interpreter start, the env var alone does not stick — only
+    ``jax.config`` applied before the first backend initialization does
+    (tests/conftest.py documents the same). Without this, a caller who
+    pinned ``JAX_PLATFORMS=cpu`` still dials the accelerator from
+    device_count() (gpu-id validation), which hangs outright when the
+    device link is down (observed 2026-08-17 tunnel outage)."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized; keep it
+
+
 def init(config_json: str) -> int:
     """Build engines per the CLI's parsed config. Returns the model scale."""
     cfg = json.loads(config_json)
@@ -40,6 +60,7 @@ def init(config_json: str) -> int:
 
     if gpuid and all(g == -1 for g in gpuid):
         os.environ["JAX_PLATFORMS"] = "cpu"
+    _apply_platform_env()
 
     import jax
 
@@ -141,6 +162,7 @@ def device_count() -> int:
     """Size of the accelerator pool engine gpuids index into (the analog of
     ncnn::get_gpu_count, reference main.cpp:722-732). Importable before
     init(); safe on CPU-only hosts (returns the CPU device count)."""
+    _apply_platform_env()
     import jax
 
     accel = [d for d in jax.devices() if d.platform != "cpu"]
