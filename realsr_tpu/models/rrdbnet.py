@@ -568,6 +568,17 @@ def _packed_tail(params, fea, spec, od, tail_dt):
         grid = jnp.transpose(grid, (0, 1, 3, 2, 4, 5))
         return grid.reshape(B, 4 * H, 4 * W, spec.out_ch)
 
+    def _kernel_rows(RK, H):
+        # VMEM-bounded row blocks; REALSR_TPU_TAIL_BLK overrides the
+        # target for on-hardware sweeps (trace-time, like the kernel's
+        # own tuning knobs)
+        import os
+
+        tgt = int(os.environ.get("REALSR_TPU_TAIL_BLK", "0")) or min(
+            24, max(4, H)
+        )
+        return RK.plan_rows(H, target_blk=tgt)
+
     if kern == 2:
         # fused up2+HRconv+conv_last: P2 never leaves VMEM
         from realsr_tpu.ops import rdb_kernel as RK
@@ -575,7 +586,7 @@ def _packed_tail(params, fea, spec, od, tail_dt):
 
         B, H, W = P1[0][0].shape[:3]
         WB = RK.round_wb(W)
-        BLK, nblk = RK.plan_rows(H, target_blk=min(24, max(4, H)))
+        BLK, nblk = _kernel_rows(RK, H)
         packed1 = jnp.concatenate(
             [P1[a][b] for a in (0, 1) for b in (0, 1)], axis=-1
         ).astype(od)
@@ -631,7 +642,7 @@ def _packed_tail(params, fea, spec, od, tail_dt):
 
         B, H, W = P2[0][0].shape[:3]
         WB = RK.round_wb(W)
-        BLK, nblk = RK.plan_rows(H, target_blk=min(24, max(4, H)))
+        BLK, nblk = _kernel_rows(RK, H)
         Hp = BLK * nblk
         packed = jnp.concatenate(
             [P2[P][Q] for P in range(4) for Q in range(4)], axis=-1
