@@ -226,7 +226,7 @@ class RealSR:
             from realsr_tpu.models import rrdbnet as _R
 
             lvl = os.environ["REALSR_TPU_PACKED_TAIL"]
-            lvl = int(lvl) if lvl.isdigit() else 1
+            lvl = min(int(lvl) if lvl.isdigit() else 1, 3)  # 3 = max fusion
             _R.PACKED_TAIL = lvl > 0
             _R.PACKED_TAIL_KERNEL = max(0, lvl - 1)
         self._model_paths = (parampath, modelpath)  # for process_cpu's sibling

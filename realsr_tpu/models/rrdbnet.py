@@ -568,15 +568,20 @@ def _packed_tail(params, fea, spec, od, tail_dt):
         grid = jnp.transpose(grid, (0, 1, 3, 2, 4, 5))
         return grid.reshape(B, 4 * H, 4 * W, spec.out_ch)
 
-    def _kernel_rows(RK, H):
-        # VMEM-bounded row blocks; REALSR_TPU_TAIL_BLK overrides the
-        # target for on-hardware sweeps (trace-time, like the kernel's
-        # own tuning knobs)
+    def _kernel_rows(RK, H, WB):
+        # VMEM-bounded row blocks: the dominant scratch is the f32 T
+        # buffer [16*9*8, (BLK+2)*WB + guards], so cap the z-frame flat
+        # size the way rdb_kernel.plan_rows caps its window (at WB 288
+        # the cap reproduces the default BLK 24 ~ 38 MB of T). The env
+        # override serves on-hardware sweeps (trace-time knob); parsed
+        # defensively like every env int in this repo.
         import os
 
-        tgt = int(os.environ.get("REALSR_TPU_TAIL_BLK", "0")) or min(
-            24, max(4, H)
-        )
+        raw = os.environ.get("REALSR_TPU_TAIL_BLK", "")
+        tgt = int(raw) if raw.isdigit() else 0
+        if not tgt:
+            flat_cap = max(4, (26 * 288 // WB - 2) // 4 * 4)
+            tgt = min(24, max(4, H), flat_cap)
         return RK.plan_rows(H, target_blk=tgt)
 
     if kern == 2:
@@ -586,7 +591,7 @@ def _packed_tail(params, fea, spec, od, tail_dt):
 
         B, H, W = P1[0][0].shape[:3]
         WB = RK.round_wb(W)
-        BLK, nblk = _kernel_rows(RK, H)
+        BLK, nblk = _kernel_rows(RK, H, WB)
         packed1 = jnp.concatenate(
             [P1[a][b] for a in (0, 1) for b in (0, 1)], axis=-1
         ).astype(od)
@@ -642,7 +647,7 @@ def _packed_tail(params, fea, spec, od, tail_dt):
 
         B, H, W = P2[0][0].shape[:3]
         WB = RK.round_wb(W)
-        BLK, nblk = _kernel_rows(RK, H)
+        BLK, nblk = _kernel_rows(RK, H, WB)
         Hp = BLK * nblk
         packed = jnp.concatenate(
             [P2[P][Q] for P in range(4) for Q in range(4)], axis=-1

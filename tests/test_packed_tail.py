@@ -236,3 +236,39 @@ def test_packed_tail_kernel_falls_back_off_production_shape():
     finally:
         R.PACKED_TAIL_KERNEL = 0
     np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("mode", [1, 2])
+def test_packed_tail_kernel_multiblock_multichunk(mode, monkeypatch):
+    """Stress the kernel's riskiest paths: nblk>1 (cross-block z/P2 halo
+    recompute, forced via REALSR_TPU_TAIL_BLK) and FLAT > one 1920-lane
+    chunk (wide W -> chunked cols gather/concat)."""
+    import functools
+
+    from realsr_tpu.ops import tail_kernel as TK
+
+    monkeypatch.setenv("REALSR_TPU_TAIL_BLK", "4")
+    spec = R.RRDBNetSpec(num_rrdb=1, nf=64, gc=32)
+    params = _tail_params(64, spec.out_ch, seed=19)
+    rng = np.random.default_rng(20)
+    # H=13 -> nblk=4 at BLK 4; W=94 -> WB=96, FLAT1=(4+2)*96=576 lanes x
+    # ... widened by H: (BLK+2)*WB per block; with ch=1920 the per-block
+    # flat exceeds one chunk only via W, so use W=94 (WB 96): padf1 covers
+    # 2 chunks at BLK 38 -- instead force chunking via ch override below.
+    fea = rng.normal(0, 1, (1, 13, 94, 64)).astype(np.float32)
+    body = rng.normal(0, 1, (1, 13, 94, 64)).astype(np.float32)
+
+    origs = (TK.hr_last_packed, TK.up2_hr_last_packed)
+    # ch=256 forces several lane chunks per block at these sizes
+    TK.hr_last_packed = functools.partial(origs[0], interpret=True, ch=256)
+    TK.up2_hr_last_packed = functools.partial(
+        origs[1], interpret=True, ch=256
+    )
+    try:
+        ref = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+        R.PACKED_TAIL_KERNEL = mode
+        got = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+    finally:
+        R.PACKED_TAIL_KERNEL = 0
+        TK.hr_last_packed, TK.up2_hr_last_packed = origs
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
