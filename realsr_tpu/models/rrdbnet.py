@@ -536,21 +536,32 @@ def _packed_tail(params, fea, spec, od, tail_dt):
             y = jnp.where(y >= 0, y, y * slope)
         return y.astype(tail_dt) if store else y
 
-    # up1: fea -> 4 packed 2x phases; P1[a][b][i, j] = 2x pixel (2i+a, 2j+b)
+    # up1: fea -> 4 packed 2x phases; P1[a][b][i, j] = 2x pixel (2i+a, 2j+b).
+    # ONE VALID 2x2 conv with the 4 phases as output-channel groups (the
+    # _upconv_x2_phase formulation minus its interleave); the phase
+    # arrays are then plain slices — cheaper than 4 gather-concat einsums.
     k1 = _phase_split(params["up"]["w"][0])
     b1 = params["up"]["b"][0]
+    nf_t = fea.shape[-1]
+    k1c = jnp.concatenate(
+        [k1[0][0], k1[0][1], k1[1][0], k1[1][1]], axis=-1
+    )  # [2, 2, cin, 4cout]
+    xp1 = jnp.pad(fea, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y1 = jax.lax.conv_general_dilated(
+        xp1.astype(od),
+        k1c.astype(od),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=_precision(od),
+    )  # y1[i, j] reads fea[i-1..i, j-1..j]; p_ab[i, j] = y1[i+a, j+b]
+    y1 = y1 + jnp.tile(b1.astype(jnp.float32), 4)
+    y1 = jnp.where(y1 >= 0, y1, y1 * LRELU_SLOPE).astype(tail_dt)
+    Hf, Wf = fea.shape[1], fea.shape[2]
     P1 = [
         [
-            mm(
-                [
-                    _shift0(fea, a - 1 + s, b - 1 + t)
-                    for s in (0, 1)
-                    for t in (0, 1)
-                ],
-                [k1[a][b][s, t] for s in (0, 1) for t in (0, 1)],
-                b1,
-                LRELU_SLOPE,
-            )
+            y1[:, a : a + Hf, b : b + Wf, (2 * a + b) * nf_t : (2 * a + b + 1) * nf_t]
             for b in (0, 1)
         ]
         for a in (0, 1)
