@@ -158,3 +158,45 @@ def test_mesh_oversized_image_bands_per_device(pair, rng, monkeypatch):
     monkeypatch.delenv("REALSR_TPU_BAND_BUDGET_MB")
     expected = single.process(img)
     np.testing.assert_array_equal(got, expected)
+
+
+def test_mesh_pallas_packed_tail_kernel(tmp_path, rng):
+    """The packed-tail Pallas kernel (mode 2: up2+HR+last fused) inside the
+    shard_map island matches the same mesh engine with the flag off. Needs
+    the production nf=64 shape (the kernel falls back otherwise)."""
+    import functools
+
+    from realsr_tpu.models import rrdbnet as R
+    from realsr_tpu.models.rrdbnet import RRDBNetSpec
+    from realsr_tpu.ncnn.synth import make_model_dir
+    from realsr_tpu.ops import rdb_kernel as K
+    from realsr_tpu.ops import tail_kernel as TK
+
+    spec = RRDBNetSpec(num_rrdb=1, nf=64, gc=32)
+    d = tmp_path / "models-NF64"
+    make_model_dir(str(d), spec, seed=3)
+    mesh = make_mesh(jax.devices()[:2])
+    img = rng.integers(0, 256, (24, 20, 3), dtype=np.uint8)
+
+    origs = (K.rdb_apply, TK.up2_hr_last_packed)
+    K.rdb_apply = functools.partial(origs[0], interpret=True)
+    TK.up2_hr_last_packed = functools.partial(origs[1], interpret=True)
+    try:
+        base = RealSR(
+            config=EngineConfig(tilesize=16, storage="float32", variant="pallas"),
+            mesh=mesh,
+        )
+        base.load(str(d) + "/x4.param", str(d) + "/x4.bin")
+        want = base.process(img)
+
+        R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = True, 2
+        kern = RealSR(
+            config=EngineConfig(tilesize=16, storage="float32", variant="pallas"),
+            mesh=mesh,
+        )
+        kern.load(str(d) + "/x4.param", str(d) + "/x4.bin")
+        got = kern.process(img)
+    finally:
+        R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = False, 0
+        K.rdb_apply, TK.up2_hr_last_packed = origs
+    assert_u8_close(want, got)
