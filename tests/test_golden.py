@@ -23,10 +23,43 @@ import make_goldens as G  # noqa: E402
 from psnr import bit_exact_rate, compare, psnr  # noqa: E402
 
 GOLDEN = os.path.join(REPO, "goldens", "0_crop80_synth0_t48_f32.png")
-REF_BIN = os.environ.get(
-    "REALSR_TPU_REF_BIN", "/root/reference/models/models-DF2K/x4.bin"
-)
 REF_OUT = os.path.join(REPO, "goldens", "ref", "0.png")
+
+
+def _resolve_ref_bin() -> str:
+    """Find real DF2K weights in ANY form: an explicit env path, an
+    x4.bin (reference tree or this repo's models dir), or a public
+    PyTorch/npz/safetensors checkpoint dropped into models/models-DF2K/ —
+    converted on the fly via tools/import_esrgan.py so the parity test
+    lights up without code changes (VERDICT r3 next #3)."""
+    env = os.environ.get("REALSR_TPU_REF_BIN")
+    if env:
+        return env
+    mdir = os.path.join(REPO, "models", "models-DF2K")
+    for cand in (
+        "/root/reference/models/models-DF2K/x4.bin",
+        os.path.join(mdir, "x4.bin"),
+    ):
+        if os.path.exists(cand):
+            return cand
+    import glob
+
+    for ext in (".pth", ".pt", ".npz", ".safetensors"):
+        for ckpt in sorted(glob.glob(os.path.join(mdir, "*" + ext))):
+            out = os.path.join("/tmp", "realsr_imported_x4.bin")
+            try:
+                import import_esrgan
+
+                import_esrgan.convert(
+                    os.path.join(mdir, "x4.param"), ckpt, out, verbose=False
+                )
+                return out
+            except Exception as exc:  # unconvertible file -> keep skipping
+                print(f"checkpoint {ckpt} did not convert: {exc}")
+    return "/root/reference/models/models-DF2K/x4.bin"
+
+
+REF_BIN = _resolve_ref_bin()
 
 needs_sample = pytest.mark.skipif(
     not os.path.exists(G.REF_IMAGE), reason="reference sample image missing"
