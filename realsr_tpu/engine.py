@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import sys
 from typing import Callable, Optional
 
 import numpy as np
@@ -45,6 +46,10 @@ from realsr_tpu.ops.resize import bicubic_x4, resize_nhwc
 from realsr_tpu.ops.tta import NUM_TRANSFORMS, d4_inverse, d4_transform
 from realsr_tpu.tiling.planner import auto_tilesize, pick_tilesize, plan_tiles
 from realsr_tpu.utils.trace import maybe_start_profiler, tracer
+
+# one-shot operator notices (e.g. planner-anchor provenance): printed at
+# most once per process however many engines load
+_PRINTED_NOTICES: set = set()
 
 
 @dataclasses.dataclass
@@ -232,6 +237,24 @@ class RealSR:
             lvl = min(int(lvl), 3) if lvl.isdigit() else 0  # 3 = max fusion
             _R.PACKED_TAIL = lvl > 0
             _R.PACKED_TAIL_KERNEL = max(0, lvl - 1)
+        if variant == "pallas":
+            # anchors/kernel plans are generation-swept: tell the operator
+            # once when this device's generation doesn't match (weak #7)
+            from realsr_tpu.tiling.planner import anchor_provenance_notice
+
+            note = anchor_provenance_notice(
+                getattr(self.device, "device_kind", self.device.platform)
+            )
+            if note and note not in _PRINTED_NOTICES:
+                _PRINTED_NOTICES.add(note)
+                print(note, file=sys.stderr)
+        sched_env = os.environ.get("REALSR_TPU_SCHED", "")
+        if sched_env in ("scatter", "packed"):
+            # RDB matmul schedule A/B hook (ops.rdb_kernel.SCHED): must be
+            # set BEFORE load_model so weight packing and kernel agree.
+            from realsr_tpu.ops import rdb_kernel as _RK
+
+            _RK.SCHED = sched_env
         self._model_paths = (parampath, modelpath)  # for process_cpu's sibling
         self.bundle = load_model(
             parampath, modelpath, storage_dtype=dtype, variant=variant,
@@ -397,6 +420,23 @@ class RealSR:
             out_buf, _ = jax.lax.scan(scat, out_buf, (tiles_u8, imgs, xs, ys))
             return out_buf
 
+        def scatter_chunk_local(out_buf, tiles_u8, imgs, xs, ys):
+            """Mesh-mode scatter body (runs per device inside shard_map):
+            each device writes only ITS tile shard into a PRIVATE
+            [1, n_img, H*s, W*s, C] partial buffer — ZERO collectives per
+            chunk (the replicated-buffer form all-gathered every chunk's
+            tiles, VERDICT r3 next #8). The partials merge once per image
+            in _finish_out."""
+
+            def scat(b, t):
+                tile, i, x0, y0 = t
+                return jax.lax.dynamic_update_slice(
+                    b, tile[None, None], (0, i, y0 * scale, x0 * scale, 0)
+                ), None
+
+            out_buf, _ = jax.lax.scan(scat, out_buf, (tiles_u8, imgs, xs, ys))
+            return out_buf
+
         if self.mesh is None:
             self._prep = jax.jit(prep, static_argnums=(1,))
             self._prep_band = jax.jit(prep_band, static_argnums=(1,))
@@ -438,10 +478,32 @@ class RealSR:
                 in_shardings=(shd_b, shd_b),
                 out_shardings=shd_b,
             )
+            # tiles never cross ICI during scatter: each device owns a
+            # private partial output (leading ndev axis, sharded) and
+            # writes its own tile shard; _finish_out merges ONCE per image
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
             self._scatter_chunk = jax.jit(
-                scatter_chunk,
+                shard_map(
+                    scatter_chunk_local,
+                    mesh=self.mesh,
+                    in_specs=(
+                        P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS),
+                        P(TILE_AXIS), P(TILE_AXIS),
+                    ),
+                    out_specs=P(TILE_AXIS),
+                ),
                 donate_argnums=(0,),
-                in_shardings=(rep, shd_b, shd_b, shd_b, shd_b),
+            )
+            # tiles are disjoint, pad-duplicates write identical bytes,
+            # and unwritten pixels stay 0 <= any written u8 value — so a
+            # max over the device axis reconstructs the image exactly.
+            # This is the output path's ONE collective per image.
+            self._merge_out = jax.jit(
+                lambda b: jnp.max(b, axis=0),
+                in_shardings=(shd_b,),
                 out_shardings=rep,
             )
 
@@ -554,6 +616,9 @@ class RealSR:
         with_alpha = channels == 4
         ivec = S((bsz,), jnp.int32)
         tiles_u8 = S((bsz, hn * s, wn * s, channels), jnp.uint8)
+        if self.mesh is not None:
+            # mesh scatter takes per-device partials (leading ndev axis)
+            out_buf = S((self.mesh.size,) + out_buf.shape, out_buf.dtype)
         lows = [
             self._extract_chunk.lower(
                 padded, alpha, ivec, ivec, ivec, ph, pw, hn, wn, with_alpha
@@ -660,9 +725,7 @@ class RealSR:
             img_dev = jax.device_put(images, where)
             padded, alpha = self._prep(img_dev, pad)
 
-        out_buf = jax.device_put(
-            jnp.zeros((n_img, h * s, w * s, c), dtype=jnp.uint8), where
-        )
+        out_buf = self._alloc_out((n_img, h * s, w * s, c))
 
         buckets = {
             shape: [
@@ -676,7 +739,22 @@ class RealSR:
             padded, alpha, out_buf, buckets, tilesize, c,
             progress_cb, 0, len(plan.tiles) * n_img,
         )
-        return out_buf
+        return self._finish_out(out_buf)
+
+    def _alloc_out(self, shape) -> jnp.ndarray:
+        """Output buffer for a dispatch run. Mesh mode: one PRIVATE
+        partial per device (leading ndev axis, sharded over the mesh) so
+        scatter needs no collectives; else a plain device buffer."""
+        if self.mesh is None:
+            return jax.device_put(jnp.zeros(shape, jnp.uint8), self.device)
+        ndev = self.mesh.size
+        shd = NamedSharding(self.mesh, P(TILE_AXIS))
+        return jax.device_put(jnp.zeros((ndev,) + shape, jnp.uint8), shd)
+
+    def _finish_out(self, out_buf) -> jnp.ndarray:
+        """Merge mesh-mode per-device partials (one collective per image);
+        identity off-mesh."""
+        return out_buf if self.mesh is None else self._merge_out(out_buf)
 
     def _dispatch_buckets(
         self, padded, alpha, out_buf, buckets, tilesize, c,
@@ -852,9 +930,7 @@ class RealSR:
             with tracer.span("h2d+prep(band)"):
                 dev = jax.device_put(band_ext[None], where)
                 padded, alpha = self._prep_band(dev, pad)
-            buf = jax.device_put(
-                jnp.zeros((1, (Y1 - Y0) * s, w * s, c), jnp.uint8), where
-            )
+            buf = self._alloc_out((1, (Y1 - Y0) * s, w * s, c))
             buckets: dict = {}
             for yi in range(r0, r1):
                 for t in by_row[yi]:
@@ -865,6 +941,7 @@ class RealSR:
                 padded, alpha, buf, buckets, tilesize, c,
                 progress_cb, done, total,
             )
+            buf = self._finish_out(buf)
             if prev is not None:
                 p0, p1, pbuf = prev
                 out[p0 * s : p1 * s] = self.fetch(pbuf)[0]

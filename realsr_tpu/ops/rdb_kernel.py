@@ -49,6 +49,36 @@ _CH = 1920  # lane-chunk for stage matmuls (15 lane tiles)
 # chunk's matmul); module-level so experiments can A/B at trace time
 COLS_DB = True
 
+# Matmul schedule (trace-time module flag, like COLS_DB):
+#   "scatter" — one matmul per INPUT (x, c1..c4), each producing all its
+#     later contributions: M = (4gc+nf, 3gc+nf, 2gc+nf, gc+nf, nf),
+#     K = (9nf, 9gc x4). With nf=64/gc=32 the M/K padding to the MXU's
+#     128-tiles caps FLOP-weighted utilization at ~59-61% (BASELINE.md
+#     round-3 profile): 25 padded 128x128 tile-passes for 14.6 useful.
+#   "packed" — cross-stage K-packing (VERDICT r3 next #1): defer x's and
+#     c1's contributions to c3/c4/c5 and compute them TOGETHER with c2's
+#     as ONE rectangle {x,c1,c2} x {c3,c4,c5}: M = 2gc+nf = 128 exactly,
+#     K = 9*(nf+2gc) = 1152 = 9x128 exactly — a zero-padding matmul
+#     holding 9 of the 23 padded units. Padded passes drop 25 -> 23
+#     (+8.7% MXU) at the cost of re-storing x's and c1's taps for the
+#     packed rectangle (1.5x tap-store VPU work, which probes show
+#     largely hides under the MXU). Accumulation order changes (the
+#     packed rectangle sums x/c1/c2 contributions inside one MXU K-axis
+#     instead of separate f32 VPU adds) — same-magnitude f32 reassociation
+#     as XLA applies freely; exactness tests bound it.
+SCHED = "scatter"
+
+# Double-buffer the window DMA across grid steps (trace-time module flag):
+# the unchained kernel's input fetch was SYNCHRONOUS per grid step
+# (start -> zero guards -> wait), idling the MXU for the full window
+# transfer (~7.5 MB f32 per step in mixed mode) at every one of the
+# 24 steps x 69 RDB calls of a production chunk. With prefetch, step s
+# starts step s+1's copy into the alternate plane of a [2, nf, ...]
+# scratch before computing, and waits only on its own plane — the fetch
+# rides under the previous step's matmuls. Costs one extra window plane
+# of VMEM (~8 MB f32 at the production config).
+DMA_PREFETCH = True
+
 
 def _guard_lanes(wb: int) -> int:
     """Guard lanes each side of the VMEM window: must cover the largest tap
@@ -122,6 +152,8 @@ def _rdb_kernel(
     db: bool = True,
     chained: bool = False,
     paired: bool = False,
+    sched: str = "scatter",
+    prefetch: bool = False,
 ):
     if chained:
         # chained mode (see rdb_apply_chained): the output is the SAME
@@ -158,16 +190,60 @@ def _rdb_kernel(
     b = pl.program_id(0)
     r = pl.program_id(1)
 
-    # window DMA: flat lanes [r*BLK*WB, +flatd) of the aproned input
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(r * BLK * WB, flatd)],
-        xg.at[:, pl.ds(_G, flatd)],
-        sem,
-    )
-    cp.start()
-    xg[:, : _G] = jnp.zeros((nf, _G), xg.dtype)
-    xg[:, _G + flatd :] = jnp.zeros((nf, xg.shape[1] - _G - flatd), xg.dtype)
-    cp.wait()
+    if prefetch:
+        # Double-buffered window fetch (see DMA_PREFETCH): xg is the
+        # [2, nf, padf+2G] scratch, sem a 2-lane DMA semaphore. Step s
+        # computes from plane s%2 and starts step s+1's copy into the
+        # other plane first, so the fetch overlaps this step's matmuls.
+        step = b * nblk + r
+        nsteps = pl.num_programs(0) * nblk
+        p = jax.lax.rem(step, 2)
+        q = jax.lax.rem(step + 1, 2)
+
+        @pl.when(step == 0)
+        def _first_fetch():
+            # guards/tails are outside every DMA's write range: zero both
+            # planes once per kernel invocation (scratch arrives dirty)
+            xg[:, :, : _G] = jnp.zeros((2, nf, _G), xg.dtype)
+            xg[:, :, _G + flatd :] = jnp.zeros(
+                (2, nf, xg.shape[2] - _G - flatd), xg.dtype
+            )
+            pltpu.make_async_copy(
+                x_hbm.at[0, :, pl.ds(0, flatd)],
+                xg.at[0, :, pl.ds(_G, flatd)],
+                sem.at[0],
+            ).start()
+
+        @pl.when(step + 1 < nsteps)
+        def _prefetch_next():
+            s1 = step + 1
+            b2 = jax.lax.div(s1, nblk)
+            r2 = jax.lax.rem(s1, nblk)
+            pltpu.make_async_copy(
+                x_hbm.at[b2, :, pl.ds(r2 * (BLK * WB), flatd)],
+                xg.at[q, :, pl.ds(_G, flatd)],
+                sem.at[q],
+            ).start()
+
+        pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(r * (BLK * WB), flatd)],
+            xg.at[p, :, pl.ds(_G, flatd)],
+            sem.at[p],
+        ).wait()
+        xg = xg.at[p]  # downstream code sees one window plane
+    else:
+        # window DMA: flat lanes [r*BLK*WB, +flatd) of the aproned input
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(r * BLK * WB, flatd)],
+            xg.at[:, pl.ds(_G, flatd)],
+            sem,
+        )
+        cp.start()
+        xg[:, : _G] = jnp.zeros((nf, _G), xg.dtype)
+        xg[:, _G + flatd :] = jnp.zeros(
+            (nf, xg.shape[1] - _G - flatd), xg.dtype
+        )
+        cp.wait()
 
     if chained:
         # The chained layout's apron rows hold garbage (the manual output
@@ -227,28 +303,33 @@ def _rdb_kernel(
     offs = [(dy - 1) * WB + (dx - 1) for dy in range(3) for dx in range(3)]
     chunk_no = [0]  # trace-time counter: alternates the cols buffer
 
-    def stage(tg, wj):
-        """tg [cin, padf+2G] guarded -> [n_out, FLAT] f32.
+    def stage(parts, wj):
+        """parts [(tg [cin, padf+2G] guarded, cin), ...] -> [n_out, FLAT]
+        f32 via ``wj @ cols``.
 
         Chunked lane-wise; each tap is a lane slice of the guarded input,
         STORED into a cols scratch (stores normalize the arbitrary lane
-        offsets Mosaic cannot concat directly), then one MXU matmul per
-        chunk with channels x taps on the contraction axis. With ``db`` the
-        cols buffer ALTERNATES per chunk: a single buffer puts a
-        write-after-read hazard between chunk k+1's VPU tap stores and
-        chunk k's MXU matmul, serializing them — two buffers let Mosaic
-        overlap the stores with the previous matmul.
+        offsets Mosaic cannot concat directly) at its part's row base,
+        then one MXU matmul per chunk with (parts x taps x channels) on
+        the contraction axis. Multi-part calls realize the packed
+        schedule's cross-stage K-axis. With ``db`` the cols buffer
+        ALTERNATES per chunk: a single buffer puts a write-after-read
+        hazard between chunk k+1's VPU tap stores and chunk k's MXU
+        matmul, serializing them — two buffers let Mosaic overlap the
+        stores with the previous matmul.
         """
-        cin = tg.shape[0]
-        k = 9 * cin
+        k = 9 * sum(cin for _, cin in parts)
         outs = []
         for f0 in range(0, padf, ch):
             buf = cols2_ref if (db and chunk_no[0] % 2) else cols_ref
             chunk_no[0] += 1
-            for t, o in enumerate(offs):
-                buf[t * cin : (t + 1) * cin, :] = tg[
-                    0:cin, _G + f0 + o : _G + f0 + o + ch
-                ].astype(buf.dtype)
+            base = 0
+            for tg, cin in parts:
+                for t, o in enumerate(offs):
+                    buf[base + t * cin : base + (t + 1) * cin, :] = tg[
+                        0:cin, _G + f0 + o : _G + f0 + o + ch
+                    ].astype(buf.dtype)
+                base += 9 * cin
             outs.append(
                 jax.lax.dot_general(
                     wj,
@@ -279,26 +360,47 @@ def _rdb_kernel(
     # is ever live alongside the (shrinking) accumulator set — peak VMEM
     # stays under the 16MB scoped limit at BLK=40.
     dt = cols_ref.dtype  # operand dtype (c1..c4 live at it)
-    px = stage(xop, w0[:])  # [4gc+nf, FLAT] f32
-    c1 = jnp.where(valid, _lrelu(px[0:gc] + b1[:]), 0.0).astype(dt)
-    a2 = px[gc : 2 * gc] + b2[:]
-    a3 = px[2 * gc : 3 * gc] + b3[:]
-    a4 = px[3 * gc : 4 * gc] + b4[:]
-    a5 = px[4 * gc :] + b5[:]
-    p1 = stage(guard(c1), w1[:])  # [3gc+nf, FLAT]
-    c2 = jnp.where(valid, _lrelu(a2 + p1[0:gc]), 0.0).astype(dt)
-    a3 = a3 + p1[gc : 2 * gc]
-    a4 = a4 + p1[2 * gc : 3 * gc]
-    a5 = a5 + p1[3 * gc :]
-    p2 = stage(guard(c2), w2[:])  # [2gc+nf, FLAT]
-    c3 = jnp.where(valid, _lrelu(a3 + p2[0:gc]), 0.0).astype(dt)
-    a4 = a4 + p2[gc : 2 * gc]
-    a5 = a5 + p2[2 * gc :]
-    p3 = stage(guard(c3), w3[:])  # [gc+nf, FLAT]
-    c4 = jnp.where(valid, _lrelu(a4 + p3[0:gc]), 0.0).astype(dt)
-    a5 = a5 + p3[gc:]
-    p4 = stage(guard(c4), w4[:])  # [nf, FLAT]
-    c5 = a5 + p4
+    if sched == "packed":
+        # K-packed schedule (see SCHED): the five rectangles are
+        #   A {x}x{c1,c2}  B {c1}x{c2}  C {x,c1,c2}x{c3,c4,c5}
+        #   D {c3}x{c4,c5} E {c4}x{c5}
+        # C is the zero-padding M=2gc+nf / K=9(nf+2gc) matmul; x's and
+        # c1's taps are stored a second time for it.
+        pa = stage([(xop, nf)], w0[:])  # [2gc, FLAT]
+        c1 = jnp.where(valid, _lrelu(pa[0:gc] + b1[:]), 0.0).astype(dt)
+        a2 = pa[gc:] + b2[:]
+        g1 = guard(c1)
+        pb = stage([(g1, gc)], w1[:])  # [gc, FLAT]
+        c2 = jnp.where(valid, _lrelu(a2 + pb), 0.0).astype(dt)
+        pc = stage([(xop, nf), (g1, gc), (guard(c2), gc)], w2[:])
+        c3 = jnp.where(valid, _lrelu(pc[0:gc] + b3[:]), 0.0).astype(dt)
+        a4 = pc[gc : 2 * gc] + b4[:]
+        a5 = pc[2 * gc :] + b5[:]
+        pd = stage([(guard(c3), gc)], w3[:])  # [gc+nf, FLAT]
+        c4 = jnp.where(valid, _lrelu(a4 + pd[0:gc]), 0.0).astype(dt)
+        a5 = a5 + pd[gc:]
+        c5 = a5 + stage([(guard(c4), gc)], w4[:])  # [nf, FLAT]
+    else:
+        px = stage([(xop, nf)], w0[:])  # [4gc+nf, FLAT] f32
+        c1 = jnp.where(valid, _lrelu(px[0:gc] + b1[:]), 0.0).astype(dt)
+        a2 = px[gc : 2 * gc] + b2[:]
+        a3 = px[2 * gc : 3 * gc] + b3[:]
+        a4 = px[3 * gc : 4 * gc] + b4[:]
+        a5 = px[4 * gc :] + b5[:]
+        p1 = stage([(guard(c1), gc)], w1[:])  # [3gc+nf, FLAT]
+        c2 = jnp.where(valid, _lrelu(a2 + p1[0:gc]), 0.0).astype(dt)
+        a3 = a3 + p1[gc : 2 * gc]
+        a4 = a4 + p1[2 * gc : 3 * gc]
+        a5 = a5 + p1[3 * gc :]
+        p2 = stage([(guard(c2), gc)], w2[:])  # [2gc+nf, FLAT]
+        c3 = jnp.where(valid, _lrelu(a3 + p2[0:gc]), 0.0).astype(dt)
+        a4 = a4 + p2[gc : 2 * gc]
+        a5 = a5 + p2[2 * gc :]
+        p3 = stage([(guard(c3), gc)], w3[:])  # [gc+nf, FLAT]
+        c4 = jnp.where(valid, _lrelu(a4 + p3[0:gc]), 0.0).astype(dt)
+        a5 = a5 + p3[gc:]
+        p4 = stage([(guard(c4), gc)], w4[:])  # [nf, FLAT]
+        c5 = a5 + p4
     xc = xg[:, _G : _G + FLAT].astype(jnp.float32)
     if paired:
         # f32 residual over the window's hi plane, then add the center's
@@ -358,7 +460,7 @@ def _rdb_kernel(
     jax.jit,
     static_argnames=(
         "H", "W", "WB", "BLK", "nblk", "nf", "gc", "ch", "db", "op_dtype",
-        "cis", "interpret",
+        "cis", "sched", "interpret",
     ),
 )
 def rdb_apply(
@@ -376,6 +478,8 @@ def rdb_apply(
     db: bool = True,
     op_dtype=None,
     cis: bool = True,
+    sched: str = None,
+    prefetch: bool = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One fused RDB on the flat transposed layout -> [B, nf, Hp*WB].
@@ -400,9 +504,14 @@ def rdb_apply(
     padf = -(-FLAT // ch) * ch
     op = jnp.dtype(op_dtype) if op_dtype is not None else x_flat.dtype
     mixed = op != x_flat.dtype and not cis  # xb copy only without cast-in-store
+    sched = sched if sched is not None else SCHED
+    prefetch = prefetch if prefetch is not None else DMA_PREFETCH
+    # cols rows = the largest rectangle's K: the packed schedule's
+    # {x,c1,c2} rectangle spans 9*(nf+2gc) taps-x-channels
+    kcols = 9 * (nf + 2 * gc) if sched == "packed" else 9 * nf
     kernel = functools.partial(
         _rdb_kernel, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
-        ch=ch, db=db,
+        ch=ch, db=db, sched=sched, prefetch=prefetch,
     )
     rep = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -416,19 +525,25 @@ def rdb_apply(
         ),
         out_shape=jax.ShapeDtypeStruct((B, nf, nblk * BLK * WB), x_flat.dtype),
         scratch_shapes=[
-            pltpu.VMEM((nf, padf + 2 * _G), x_flat.dtype),
+            # two window planes + a 2-lane semaphore when prefetching
+            pltpu.VMEM(
+                ((2, nf, padf + 2 * _G) if prefetch else (nf, padf + 2 * _G)),
+                x_flat.dtype,
+            ),
             # operand copy (mixed mode only; the dummy tile keeps the
             # kernel signature stable — the kernel detects it by shape)
             pltpu.VMEM((nf, padf + 2 * _G) if mixed else (8, 128), op),
-            pltpu.VMEM((9 * nf, ch), op),
+            pltpu.VMEM((kcols, ch), op),
             # second cols buffer only when double-buffering; a minimal
             # tile keeps the kernel signature stable for db=False A/Bs
             # without carrying the ~2MB footprint being measured against
-            pltpu.VMEM((9 * nf, ch) if db else (8, 128), op),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((kcols, ch) if db else (8, 128), op),
+            pltpu.SemaphoreType.DMA((2,)) if prefetch else pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # the second window plane (prefetch) sits on top of the ~97M
+            # peak; v5e has 128M physical (BASELINE.md chained-mode note)
+            vmem_limit_bytes=(112 if prefetch else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -608,12 +723,19 @@ def rdb_apply_chained(
     return out
 
 
-def pack_rdb_params(scatter_rdb: Dict[str, Any], dtype=jnp.bfloat16):
+def pack_rdb_params(scatter_rdb: Dict[str, Any], dtype=jnp.bfloat16, sched=None):
     """Scatter-layout stacked RDB params -> kernel format.
 
     sw_s [..., 3, 3, cin, n_out] (HWIO) -> w_s [..., n_out, 9*cin] with the
     contraction index ordered (tap row-major) x cin, matching the kernel's
     ``cols`` construction. Biases -> [..., n, 1] f32.
+
+    ``sched="packed"`` re-cuts the five scatter matrices into the K-packed
+    schedule's rectangles (see SCHED): w0 [2gc, 9nf] = {x}x{c1,c2},
+    w1 [gc, 9gc] = {c1}x{c2}, w2 [2gc+nf, 9(nf+2gc)] = {x,c1,c2}x{c3,c4,c5}
+    (K order x-taps ++ c1-taps ++ c2-taps, matching stage()'s multi-part
+    cols), w3/w4 unchanged. Pure slicing/concat — the weight VALUES are
+    identical.
 
     Stays in numpy for numpy inputs (load-time packing must not round-trip
     the weights through a device); bf16 casts use ml_dtypes via jnp dtypes,
@@ -629,6 +751,16 @@ def pack_rdb_params(scatter_rdb: Dict[str, Any], dtype=jnp.bfloat16):
     for i in range(1, 6):
         b = scatter_rdb[f"b{i}"].astype(jnp.float32)
         out[f"b{i}"] = b[..., None]
+    sched = sched if sched is not None else SCHED
+    if sched == "packed":
+        nf = out["w4"].shape[-2]  # c5 width
+        gc = out["w3"].shape[-2] - nf  # [gc+nf, ...]
+        w0, w1, w2 = out["w0"], out["w1"], out["w2"]
+        out["w0"] = w0[..., : 2 * gc, :]
+        out["w1"] = w1[..., :gc, :]
+        out["w2"] = xp.concatenate(
+            [w0[..., 2 * gc :, :], w1[..., gc:, :], w2], axis=-1
+        )
     return out
 
 

@@ -75,10 +75,10 @@ def _g_t(wb: int) -> int:
     return -(-(wb + 2) // 128) * 128
 
 
-def _mm(w, buf, k):
+def _mm(w, buf, k, n=None):
     return jax.lax.dot_general(
         w,
-        buf[:k, :],
+        buf[:k, :] if n is None else buf[:k, :n],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=(
@@ -87,6 +87,17 @@ def _mm(w, buf, k):
             else jax.lax.Precision.DEFAULT
         ),
     )
+
+
+def _stage_ch(flat: int, ch: int) -> int:
+    """Lane-chunk for one stage: ``ch == 0`` selects ONE stage-sized chunk
+    (flat rounded to the 128-lane tile). Stage-sized chunks collapse the
+    kernel's trace-time (phase x chunk x tap) unroll ~4x — the mode-2
+    Mosaic compile was 573 s at ch 1920 (BASELINE.md round-3 tail notes)
+    because every one of its ~1000 distinct tap-store/matmul ops is
+    compiled separately — and enlarge every matmul's N (fewer stationary-
+    weight reloads for these M=64 matmuls)."""
+    return -(-flat // 128) * 128 if ch == 0 else ch
 
 
 def _tail_kernel(
@@ -125,8 +136,10 @@ def _tail_kernel(
     cin = 4 * NF if with_up2 else NPH * NF
     GI = _g_in(WB)
     GT = _g_t(WB)
-    padf1 = -(-FLAT1 // ch) * ch
-    padf2 = -(-FLAT2 // ch) * ch
+    ch1 = _stage_ch(FLAT1, ch)
+    ch2 = _stage_ch(FLAT2, ch)
+    padf1 = -(-FLAT1 // ch1) * ch1
+    padf2 = -(-FLAT2 // ch2) * ch2
     flatd = -(-FLAT // 128) * 128
     b = pl.program_id(0)
     r = pl.program_id(1)
@@ -175,7 +188,7 @@ def _tail_kernel(
                 bb, d = B_ // 2, B_ % 2
                 p = 4 * A + B_
                 outs = []
-                for f0 in range(0, padf2, ch):
+                for f0 in range(0, padf2, ch2):
                     buf = next_buf()
                     t = 0
                     for s in (0, 1):
@@ -186,12 +199,12 @@ def _tail_kernel(
                             qc, sc = n % 2, (n - n % 2) // 2
                             ps = 2 * qr + qc
                             o = (1 + sr) * WB + sc  # P2-frame -> window
-                            buf[t * NF : (t + 1) * NF, :] = xg[
+                            buf[t * NF : (t + 1) * NF, 0:ch2] = xg[
                                 ps * NF : (ps + 1) * NF,
-                                GI + f0 + o : GI + f0 + o + ch,
+                                GI + f0 + o : GI + f0 + o + ch2,
                             ]
                             t += 1
-                    outs.append(_mm(w2[2 * c + d], buf, 4 * NF))
+                    outs.append(_mm(w2[2 * c + d], buf, 4 * NF, ch2))
                 pp = (
                     outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
                 )[:, :FLAT2]
@@ -209,7 +222,7 @@ def _tail_kernel(
         for Q in range(4):
             p = 4 * P + Q
             outs = []
-            for f0 in range(0, padf1, ch):
+            for f0 in range(0, padf1, ch1):
                 buf = next_buf()
                 t = 0
                 for dy in (-1, 0, 1):
@@ -218,12 +231,12 @@ def _tail_kernel(
                         sc, psc = (Q + dx) // 4, (Q + dx) % 4
                         ps = 4 * psr + psc
                         o = (1 + sr) * WB + sc  # z-frame -> src-frame
-                        buf[t * NF : (t + 1) * NF, :] = src[
+                        buf[t * NF : (t + 1) * NF, 0:ch1] = src[
                             ps * NF : (ps + 1) * NF,
-                            GI + f0 + o : GI + f0 + o + ch,
+                            GI + f0 + o : GI + f0 + o + ch1,
                         ]
                         t += 1
-                outs.append(_mm(w1[:], buf, 9 * NF))
+                outs.append(_mm(w1[:], buf, 9 * NF, ch1))
             zp = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1))[
                 :, :FLAT1
             ]
@@ -266,8 +279,13 @@ def _call_tail_kernel(
     cin = 4 * NF if with_up2 else NPH * NF
     GI = _g_in(WB)
     GT = _g_t(WB)
-    padx = -(-FLAT // ch) * ch
-    padf2 = -(-FLAT2 // ch) * ch
+    ch1 = _stage_ch(FLAT1, ch)
+    ch2 = _stage_ch(FLAT2, ch)
+    chmax = max(ch1, ch2) if with_up2 else ch1
+    padf1 = -(-FLAT1 // ch1) * ch1
+    padf2 = -(-FLAT2 // ch2) * ch2
+    flatd = -(-FLAT // 128) * 128
+    padx = max(flatd, padf2 if with_up2 else padf1)
     kernel = functools.partial(
         _tail_kernel, H=H, W=W, WB=WB, BLK=BLK, ch=ch, db=db,
         with_up2=with_up2,
@@ -288,8 +306,8 @@ def _call_tail_kernel(
         ),
         scratch_shapes=[
             pltpu.VMEM((cin, padx + 2 * GI), x_flat.dtype),
-            pltpu.VMEM((9 * NF, ch), x_flat.dtype),
-            pltpu.VMEM((9 * NF, ch) if db else (8, 128), x_flat.dtype),
+            pltpu.VMEM((9 * NF, chmax), x_flat.dtype),
+            pltpu.VMEM((9 * NF, chmax) if db else (8, 128), x_flat.dtype),
             pltpu.VMEM((NPH * 9 * TC, FLAT1 + 2 * GT), jnp.float32),
             pltpu.VMEM(
                 (NPH * NF, padf2 + 2 * GI) if with_up2 else (8, 128),

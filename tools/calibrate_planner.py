@@ -88,7 +88,19 @@ def main() -> int:
         path = _anchor_file()
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump({"anchors": val, "us_per_px": us_px}, f)
+            # device_kind stamps the calibration's provenance — the engine
+            # prints a drift notice when the runtime device differs
+            # (tiling.planner.anchor_provenance_notice)
+            json.dump(
+                {
+                    "anchors": val,
+                    "us_per_px": us_px,
+                    "device_kind": getattr(
+                        eng.device, "device_kind", eng.device.platform
+                    ),
+                },
+                f,
+            )
         print(f"saved calibration to {path}")
     return 0
 
