@@ -136,7 +136,17 @@ def _run_bench() -> int:
     tilesize = int(os.environ.get("REALSR_BENCH_TILE", "0"))
 
     storage = os.environ.get("REALSR_TPU_STORAGE", "auto")
-    eng = RealSR(gpuid=0, config=EngineConfig(tilesize=tilesize, storage=storage))
+    # fast_start off: the bench measures PRODUCTION-tile steady state and
+    # an honest warmup_s (with it on, the first image would run the
+    # seconds-to-compile small tile and the reps could straddle the
+    # background switch; cold first-image latency is measured separately
+    # by tools/coldstart_measure.py, BASELINE.md round-4)
+    eng = RealSR(
+        gpuid=0,
+        config=EngineConfig(
+            tilesize=tilesize, storage=storage, fast_start=False
+        ),
+    )
     eng.load(param_path, bin_path)
 
     rng = np.random.default_rng(0)

@@ -66,6 +66,19 @@ class EngineConfig:
     # shard_map island), plain XLA convs on CPU.
     variant: str = "auto"
     compilation_cache: bool = True
+    # Fast start (auto-tile accelerator runs only): serve the first images
+    # at a small tile whose Mosaic kernel compiles in seconds while the
+    # production-tile compute programs compile in BACKGROUND threads; each
+    # image re-checks and switches to the production tile the moment its
+    # programs are ready. The reference cold-starts in seconds (runtime
+    # SPIR-V compile, src/realsr.cpp:89-126); without this the first image
+    # pays the fused kernel's ~2-minute Mosaic compile (BASELINE.md).
+    # Ignored when an explicit tilesize is set. REALSR_TPU_FAST_START=0
+    # disables.
+    fast_start: bool = True
+
+
+FAST_START_TILE = 64  # padded side 84: Mosaic-compiles in ~9 s (BASELINE.md)
 
 
 def _resolve_precision(storage: str, device) -> tuple:
@@ -169,6 +182,13 @@ class RealSR:
         # in-flight tile batch — lets tests/dryruns PROVE the batch axis is
         # sharded over the mesh rather than silently replicated.
         self.sharding_probe: Optional[Callable] = None
+        # fast-start state: AOT-compiled production compute programs keyed
+        # by (ph, pw, bsz, tta, with_alpha), filled by background threads
+        import threading
+
+        self._aot_compute: dict = {}
+        self._bg_started: set = set()
+        self._bg_lock = threading.Lock()
         self.bundle: Optional[ModelBundle] = None
         self._cpu_sibling: Optional["RealSR"] = None  # process_cpu's engine
         self.scale = 4
@@ -260,6 +280,26 @@ class RealSR:
             parampath, modelpath, storage_dtype=dtype, variant=variant,
             op_dtype=op_dtype,
         )
+        if variant == "pallas" and not os.environ.get("REALSR_TPU_PACKED_TAIL"):
+            # Packed-phase tail kernel mode 2 is the pallas default for
+            # production-shaped models since round 4: measured 1.169x
+            # standalone tail / ~+3% e2e (tools/packed_tail_ab.py at
+            # stage-sized chunks, BASELINE.md round-4). Its minutes-scale
+            # Mosaic compile is absorbed by fast start (first images run
+            # the seconds-to-compile small-tile program) and by the
+            # persistent cache on warm hosts. Env value 0 opts out; other
+            # nf/out_ch shapes keep the interleaved tail (the kernel is
+            # fixed at nf=64/out=3 and its einsum fallback is a measured
+            # loss), set explicitly so a prior engine's default can't leak.
+            from realsr_tpu.models import rrdbnet as _R
+
+            ok = (
+                self.bundle.spec is not None
+                and self.bundle.spec.nf == 64
+                and self.bundle.spec.out_ch == 3
+            )
+            _R.PACKED_TAIL = bool(ok)
+            _R.PACKED_TAIL_KERNEL = 2 if ok else 0
         self.scale = self.bundle.scale
         where = replicated(self.mesh) if self.mesh is not None else self.device
         self._params = jax.device_put(self.bundle.params, where)
@@ -541,6 +581,86 @@ class RealSR:
             n_img=n_img, ndev=ndev,
         )
 
+    # -- fast start (cold-host first-image latency) ----------------------
+
+    def _fast_start_enabled(self) -> bool:
+        return (
+            self.config.fast_start
+            and not self.config.tilesize  # explicit tile = operator intent
+            and self.variant == "pallas"
+            and os.environ.get("REALSR_TPU_FAST_START", "1") != "0"
+        )
+
+    def _compute_keys(self, w, h, n_img, channels, tilesize):
+        """The compute programs a production dispatch at ``tilesize`` will
+        need: [(key, (ph, pw, hn, wn, bsz))] per bucket."""
+        pad = self.prepadding
+        plan = plan_tiles(w, h, tilesize, pad)
+        out = []
+        for (ph, pw), idxs in plan.buckets.items():
+            bsz, _ = self._chunking(tilesize, len(idxs) * n_img)
+            key = (ph, pw, bsz, self.tta_mode, channels == 4)
+            out.append((key, (ph, pw, ph - 2 * pad, pw - 2 * pad, bsz)))
+        return out
+
+    def _maybe_fast_start(self, tilesize, w, h, n_img, channels) -> int:
+        """Serve on a seconds-to-compile small tile until the production
+        tile's compute programs are ready (compiled by background threads;
+        Mosaic compile time scales with the kernel's flat working set —
+        84-padded tiles compile in ~9 s where 276-padded takes minutes,
+        BASELINE.md cold-start notes). The reference's cold start is a
+        runtime SPIR-V compile, i.e. seconds (src/realsr.cpp:89-126)."""
+        if not self._fast_start_enabled() or tilesize <= FAST_START_TILE:
+            return tilesize
+        needed = self._compute_keys(w, h, n_img, channels, tilesize)
+        with self._bg_lock:
+            missing = [x for x in needed if x[0] not in self._aot_compute]
+            to_start = [x for x in missing if x[0] not in self._bg_started]
+            self._bg_started.update(k for k, _ in to_start)
+        for key, dims in to_start:
+            self._spawn_bg_compile(key, dims, channels)
+        return tilesize if not missing else FAST_START_TILE
+
+    def _spawn_bg_compile(self, key, dims, channels) -> None:
+        import threading
+
+        ph, pw, hn, wn, bsz = dims
+        with_alpha = channels == 4
+        if self.mesh is not None:
+            # the mesh jit carries explicit in_shardings; bare structs
+            # lower against them
+            S = jax.ShapeDtypeStruct
+        else:
+            # pin the executable to THIS engine's device (jit would
+            # otherwise lower for the default device)
+            S = functools.partial(
+                jax.ShapeDtypeStruct,
+                sharding=jax.sharding.SingleDeviceSharding(self.device),
+            )
+        tiles = S((bsz, ph, pw, 3), self.storage_dtype)
+        atiles = S(
+            (bsz, hn, wn, 1) if with_alpha else (bsz, 0, 0, 0), jnp.float32
+        )
+
+        def work():
+            try:
+                comp = self._compute_chunk.lower(
+                    tiles, atiles, ph, pw, hn, wn, self.tta_mode, with_alpha
+                ).compile()
+                with self._bg_lock:
+                    self._aot_compute[key] = comp
+            except Exception as exc:  # stay on the fast tile, loudly
+                print(
+                    f"realsr-tpu: background compile of the {ph}x{pw} "
+                    f"program failed ({exc}); continuing on tile "
+                    f"{FAST_START_TILE}",
+                    file=sys.stderr,
+                )
+
+        threading.Thread(
+            target=work, daemon=True, name=f"realsr-bgcompile-{ph}x{pw}"
+        ).start()
+
     def _chunking(self, tilesize: int, n: int) -> tuple:
         """(chunk batch, chunk count) for ``n`` tiles at ``tilesize``.
 
@@ -626,31 +746,51 @@ class RealSR:
             self._scatter_chunk.lower(out_buf, tiles_u8, ivec, ivec, ivec),
         ]
         if lower_compute:
+            if self.mesh is None:
+                # pin the AOT executable to THIS engine's device (see
+                # _spawn_bg_compile); mesh jits carry explicit shardings
+                S = functools.partial(
+                    jax.ShapeDtypeStruct,
+                    sharding=jax.sharding.SingleDeviceSharding(self.device),
+                )
             tiles = S((bsz, ph, pw, 3), self.storage_dtype)
             atiles = S(
                 (bsz, hn, wn, 1) if with_alpha else (bsz, 0, 0, 0),
                 jnp.float32,
             )
-            lows.append(self._compute_chunk.lower(
-                tiles, atiles, ph, pw, hn, wn, self.tta_mode, with_alpha
+            lows.append((
+                (ph, pw, bsz, self.tta_mode, with_alpha),
+                self._compute_chunk.lower(
+                    tiles, atiles, ph, pw, hn, wn, self.tta_mode, with_alpha
+                ),
             ))
         return lows
 
-    @staticmethod
-    def _compile_all(lowereds) -> int:
-        """Compile a list of jax Lowered objects concurrently; returns the
-        count. XLA compilation releases the GIL, so threads overlap the
-        (minutes-scale, BASELINE.md) per-program compiles."""
+    def _compile_all(self, lowereds) -> int:
+        """Compile a list of jax Lowered objects (or (compute-key, Lowered)
+        pairs) concurrently; returns the count. XLA compilation releases
+        the GIL, so threads overlap the (minutes-scale, BASELINE.md)
+        per-program compiles. Keyed compute programs are kept as AOT
+        executables so dispatch uses them directly (the fast-start table —
+        no jit-cache or persistent-cache round-trip after precompile())."""
+
+        def one(item):
+            key, low = item if isinstance(item, tuple) else (None, item)
+            comp = low.compile()
+            if key is not None:
+                with self._bg_lock:
+                    self._aot_compute[key] = comp
+
         if len(lowereds) > 1:
             import concurrent.futures as cf
 
             with cf.ThreadPoolExecutor(
                 max_workers=min(4, len(lowereds))
             ) as ex:
-                list(ex.map(lambda l: l.compile(), lowereds))
+                list(ex.map(one, lowereds))
         else:
             for l in lowereds:
-                l.compile()
+                one(l)
         return len(lowereds)
 
     def _precompile_banded(self, w: int, h: int, channels: int) -> int:
@@ -718,6 +858,7 @@ class RealSR:
 
         maybe_start_profiler()
         tilesize = self._pick_tilesize(w, h, n_img)
+        tilesize = self._maybe_fast_start(tilesize, w, h, n_img, c)
         self.last_tilesize = tilesize
         plan = plan_tiles(w, h, tilesize, pad)
         where = replicated(self.mesh) if self.mesh is not None else self.device
@@ -780,8 +921,20 @@ class RealSR:
                         padded, alpha, imgs[k], xs[k], ys[k],
                         ph, pw, hn, wn, c == 4,
                     )
-                    tiles_u8 = self._compute_chunk(
-                        tiles, atiles, ph, pw, hn, wn, self.tta_mode, c == 4
+                    # a fast-start background thread may have AOT-compiled
+                    # this bucket's program — calling the Compiled directly
+                    # skips the jit dispatch cache (and, on a fresh host,
+                    # a persistent-cache round-trip)
+                    aot = self._aot_compute.get(
+                        (ph, pw, bsz, self.tta_mode, c == 4)
+                    )
+                    tiles_u8 = (
+                        aot(tiles, atiles)
+                        if aot is not None
+                        else self._compute_chunk(
+                            tiles, atiles, ph, pw, hn, wn,
+                            self.tta_mode, c == 4,
+                        )
                     )
                     out_buf = self._scatter_chunk(
                         out_buf, tiles_u8, imgs[k], xs[k], ys[k]

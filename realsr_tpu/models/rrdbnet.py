@@ -323,6 +323,16 @@ PACKED_TAIL = False
 #             einsum form materializes ~2.5 GB of P2 per production chunk)
 PACKED_TAIL_KERNEL = 0
 
+# Minimum tile side for the packed-tail KERNEL modes: the win is measured
+# at production tile sizes (BASELINE.md round-4: 1.169x at 276²), while
+# the kernel's Mosaic compile is minutes-scale — and the engine's fast
+# start serves its FIRST images on a small tile precisely because that
+# program compiles in seconds. Below this side the tail stays interleaved
+# so the fast-start program keeps its seconds-scale compile. (Trace-time
+# gate on the static tile height, so each shape's program is
+# deterministic — no global-flag flipping between traces.)
+PACKED_TAIL_MIN_SIDE = 128
+
 
 def _upconv(x, w, b, op_dtype=None):
     fn = _upconv_x2_phase if UPCONV_PHASE else _upconv_x2
@@ -579,6 +589,17 @@ def _packed_tail(params, fea, spec, od, tail_dt):
         grid = jnp.transpose(grid, (0, 1, 3, 2, 4, 5))
         return grid.reshape(B, 4 * H, 4 * W, spec.out_ch)
 
+    def _tail_ch():
+        # tail-kernel lane-chunk override (trace-time env knob, parsed
+        # defensively like every env int here). Default 0 = stage-sized
+        # chunks: ~4x fewer trace-time ops -> ~4x cheaper Mosaic compile
+        # (the mode-2 kernel's 573 s was the blocker, VERDICT r3 next #2)
+        # and larger matmul N per stationary-weight load.
+        import os
+
+        raw = os.environ.get("REALSR_TPU_TAIL_CH", "")
+        return int(raw) if raw.isdigit() else 0
+
     def _kernel_rows(RK, H, WB):
         # VMEM-bounded row blocks: the dominant scratch is the f32 T
         # buffer [16*9*8, (BLK+2)*WB + guards], so cap the z-frame flat
@@ -627,7 +648,7 @@ def _packed_tail(params, fea, spec, od, tail_dt):
         )
         out = TK.up2_hr_last_packed(
             flat1, w2, b2k, w1, b1p, w9, b3p,
-            H=H, W=W, WB=WB, BLK=BLK, nblk=nblk,
+            H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, ch=_tail_ch(),
         )
         return _kernel_unpack(out, RK, TK, B, H, W, WB)
 
@@ -670,6 +691,7 @@ def _packed_tail(params, fea, spec, od, tail_dt):
         )
         out = TK.hr_last_packed(
             flat, w1, b1p, w9, b3p, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk,
+            ch=_tail_ch(),
         )
         return _kernel_unpack(out, RK, TK, B, H, W, WB)
 
@@ -714,7 +736,9 @@ def _pallas_tail(params, fea, body, spec, storage_dtype, od, kernel_od):
     trunk = _conv3x3(body, params["trunk"]["w"], params["trunk"]["b"], None, od)
     fea = (fea.astype(jnp.float32) + trunk).astype(tail_dt)
     if PACKED_TAIL and spec.num_upsample == 2:
-        return _packed_tail(params, fea, spec, od, tail_dt)
+        H, W = fea.shape[1], fea.shape[2]
+        if not PACKED_TAIL_KERNEL or min(H, W) >= PACKED_TAIL_MIN_SIDE:
+            return _packed_tail(params, fea, spec, od, tail_dt)
     for s in range(spec.num_upsample):
         up = jax.tree.map(lambda a: a[s], params["up"])
         fea = _upconv(fea, up["w"], up["b"], od).astype(tail_dt)

@@ -7,6 +7,8 @@ batched/bucketed/scattered implementation up to ±1 uint8 quantization step
 on a small fraction of pixels (see assert_u8_close).
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -501,3 +503,74 @@ def test_packed_tail_env_opt_outs_mean_off(tiny_model_dir, monkeypatch, val):
     finally:
         R.PACKED_TAIL = False
         R.PACKED_TAIL_KERNEL = 0
+
+
+def test_fast_start_decision_logic(tiny_model_dir, monkeypatch):
+    """Fast start (VERDICT r3 next #6): with production programs missing,
+    the first image drops to FAST_START_TILE and background compiles are
+    kicked off exactly once per bucket key; once every key is ready the
+    production tile is used. Explicit tilesize / non-pallas variants opt
+    out entirely."""
+    import realsr_tpu.engine as E
+
+    eng = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
+    eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    # CPU resolves to the dense variant -> fast start must be off
+    assert not eng._fast_start_enabled()
+
+    # simulate the accelerator path
+    eng.variant = "pallas"
+    eng.tilesize = 0
+    assert eng._fast_start_enabled()
+    monkeypatch.setenv("REALSR_TPU_FAST_START", "0")
+    assert not eng._fast_start_enabled()
+    monkeypatch.delenv("REALSR_TPU_FAST_START")
+
+    spawned = []
+    monkeypatch.setattr(
+        eng, "_spawn_bg_compile", lambda key, dims, ch: spawned.append(key)
+    )
+    t = eng._maybe_fast_start(256, 600, 600, 1, 3)
+    assert t == E.FAST_START_TILE
+    assert spawned, "no background compiles started"
+    n_first = len(spawned)
+    # second image: same keys -> no duplicate spawns, still fast tile
+    t = eng._maybe_fast_start(256, 600, 600, 1, 3)
+    assert t == E.FAST_START_TILE and len(spawned) == n_first
+
+    # mark every needed program ready -> production tile
+    for key, _ in eng._compute_keys(600, 600, 1, 3, 256):
+        eng._aot_compute[key] = object()
+    assert eng._maybe_fast_start(256, 600, 600, 1, 3) == 256
+
+    # explicit tilesize opts out
+    eng.config = dataclasses.replace(eng.config, tilesize=128)
+    assert not eng._fast_start_enabled()
+
+
+def test_fast_start_aot_dispatch_path(tiny_model_dir, rng):
+    """A pre-populated AOT executable is used by the dispatch loop and
+    produces the same pixels as the jit path (CPU dense variant — the
+    lookup/calling machinery is variant-independent)."""
+    eng = RealSR(gpuid=-1, config=EngineConfig(tilesize=16, storage="float32"))
+    eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    img = rng.integers(0, 256, (20, 24, 3), np.uint8)
+    ref = eng.process(img)
+
+    # AOT-compile the bucket program exactly as _spawn_bg_compile does
+    pad = eng.prepadding
+    keys = eng._compute_keys(24, 20, 1, 3, 16)
+    import functools as ft
+
+    for key, (ph, pw, hn, wn, bsz) in keys:
+        S = ft.partial(
+            jax.ShapeDtypeStruct,
+            sharding=jax.sharding.SingleDeviceSharding(eng.device),
+        )
+        tiles = S((bsz, ph, pw, 3), eng.storage_dtype)
+        atiles = S((bsz, 0, 0, 0), jnp.float32)
+        eng._aot_compute[key] = eng._compute_chunk.lower(
+            tiles, atiles, ph, pw, hn, wn, False, False
+        ).compile()
+    out = eng.process(img)
+    np.testing.assert_array_equal(ref, out)

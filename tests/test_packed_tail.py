@@ -36,6 +36,14 @@ def _tail_params(nf, out_ch, seed=0):
     }
 
 
+@pytest.fixture(autouse=True)
+def _no_min_side_gate(monkeypatch):
+    """Tests exercise the kernel at tiny tile sides; disable the
+    production PACKED_TAIL_MIN_SIDE gate so the kernel paths are actually
+    taken (not silently replaced by the interleaved tail)."""
+    monkeypatch.setattr(R, "PACKED_TAIL_MIN_SIDE", 0)
+
+
 def _run(params, fea, body, spec, packed, storage_dtype, od):
     kernel_od = None if jnp.dtype(od) == jnp.dtype(storage_dtype) else od
     old = R.PACKED_TAIL
@@ -300,3 +308,65 @@ def test_packed_tail_kernel_stage_sized_chunks(mode):
         R.PACKED_TAIL_KERNEL = 0
         TK.hr_last_packed, TK.up2_hr_last_packed = origs
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_min_side_gate_uses_interleaved_below_threshold(monkeypatch):
+    """KERNEL mode at a tile below PACKED_TAIL_MIN_SIDE must run the
+    interleaved tail (identical output, no kernel invocation) — the
+    fast-start small-tile program must never pay the kernel compile."""
+    from realsr_tpu.ops import tail_kernel as TK
+
+    monkeypatch.setattr(R, "PACKED_TAIL_MIN_SIDE", 128)
+    spec = R.RRDBNetSpec(num_rrdb=1, nf=64, gc=32)
+    params = _tail_params(64, spec.out_ch, seed=30)
+    rng = np.random.default_rng(31)
+    fea = rng.normal(0, 1, (1, 8, 10, 64)).astype(np.float32)
+    body = rng.normal(0, 1, (1, 8, 10, 64)).astype(np.float32)
+
+    calls = []
+    monkeypatch.setattr(
+        TK, "up2_hr_last_packed",
+        lambda *a, **k: calls.append(1) or (_ for _ in ()).throw(AssertionError),
+    )
+    ref = _run(params, fea, body, spec, False, jnp.float32, jnp.float32)
+    try:
+        R.PACKED_TAIL_KERNEL = 2
+        got = _run(params, fea, body, spec, True, jnp.float32, jnp.float32)
+    finally:
+        R.PACKED_TAIL_KERNEL = 0
+    assert not calls
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+def test_engine_default_enables_packed_tail_for_production_shape(
+    tmp_path, monkeypatch
+):
+    """load() on the pallas path turns kernel mode 2 on for nf=64/out=3
+    models (round-4 default), leaves it off for other shapes, and respects
+    an explicit env 0."""
+    from realsr_tpu.engine import EngineConfig, RealSR
+    from realsr_tpu.ncnn.synth import make_model_dir
+
+    monkeypatch.delenv("REALSR_TPU_PACKED_TAIL", raising=False)
+    prod = tmp_path / "prod"
+    make_model_dir(str(prod), R.RRDBNetSpec(num_rrdb=1, nf=64, gc=32), seed=0)
+    small = tmp_path / "small"
+    make_model_dir(str(small), R.RRDBNetSpec(num_rrdb=1, nf=16, gc=8), seed=0)
+
+    try:
+        # variant forced to pallas: load() must set the flags (jits are
+        # built lazily, so no Mosaic execution happens on CPU here)
+        e = RealSR(gpuid=-1, config=EngineConfig(variant="pallas"))
+        e.load(str(prod) + "/x4.param", str(prod) + "/x4.bin")
+        assert R.PACKED_TAIL and R.PACKED_TAIL_KERNEL == 2
+
+        e2 = RealSR(gpuid=-1, config=EngineConfig(variant="pallas"))
+        e2.load(str(small) + "/x4.param", str(small) + "/x4.bin")
+        assert not R.PACKED_TAIL and R.PACKED_TAIL_KERNEL == 0
+
+        monkeypatch.setenv("REALSR_TPU_PACKED_TAIL", "0")
+        e3 = RealSR(gpuid=-1, config=EngineConfig(variant="pallas"))
+        e3.load(str(prod) + "/x4.param", str(prod) + "/x4.bin")
+        assert not R.PACKED_TAIL
+    finally:
+        R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = False, 0

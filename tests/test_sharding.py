@@ -190,6 +190,7 @@ def test_mesh_pallas_packed_tail_kernel(tmp_path, rng):
         want = base.process(img)
 
         R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = True, 2
+        R.PACKED_TAIL_MIN_SIDE, old_min = 0, R.PACKED_TAIL_MIN_SIDE
         kern = RealSR(
             config=EngineConfig(tilesize=16, storage="float32", variant="pallas"),
             mesh=mesh,
@@ -198,5 +199,6 @@ def test_mesh_pallas_packed_tail_kernel(tmp_path, rng):
         got = kern.process(img)
     finally:
         R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = False, 0
+        R.PACKED_TAIL_MIN_SIDE = old_min
         K.rdb_apply, TK.up2_hr_last_packed = origs
     assert_u8_close(want, got)

@@ -55,7 +55,16 @@ def main():
                  "b": jax.random.normal(ks[9], (3,)) * 0.01},
     }
 
-    VARIANTS = ("interleaved", "packed", "packed_kernel", "packed_kernel2")
+    # REALSR_AB_VARIANTS selects a subset (comma list) — mode-2 compiles
+    # are minutes-scale, so a 2-variant run fits a bounded session
+    VARIANTS = tuple(
+        v
+        for v in ("interleaved", "packed", "packed_kernel", "packed_kernel2")
+        if v in os.environ.get(
+            "REALSR_AB_VARIANTS",
+            "interleaved,packed,packed_kernel,packed_kernel2",
+        ).split(",")
+    )
     KMODE = {"packed_kernel": 1, "packed_kernel2": 2}
 
     def build(name):
