@@ -128,6 +128,138 @@ def _lrelu(v):
     return jnp.where(v >= 0, v, v * LRELU_SLOPE)
 
 
+def _make_rdb_compute(*, H, W, WB, BLK, TOP, nf, gc, ch, db, sched):
+    """Factory for the shared 5-conv dense-block compute.
+
+    Returns ``compute(r, xop, xg, cols_ref, cols2_ref, w, b) -> y32``:
+    the masked f32 RDB output ``0.2*c5 + x`` over the window's FLAT lanes,
+    given the guarded window ``xg`` (state dtype), the matmul-operand view
+    ``xop`` (same ref, or a cast copy in mixed/no-cis mode), the two cols
+    scratch buffers, and this RDB's packed weights/biases. Shared verbatim
+    between the per-RDB kernels (:func:`_rdb_kernel`) and the resident
+    trunk (:func:`_rdb_resident_kernel`) so exactness proofs carry over.
+    """
+    R0 = BLK + 5 + TOP
+    FLAT = R0 * WB
+    _G = _guard_lanes(WB)
+    nch = -(-FLAT // ch)
+    padf = nch * ch  # chunk grid, 128-aligned; tail lanes compute garbage
+    offs = [(dy - 1) * WB + (dx - 1) for dy in range(3) for dx in range(3)]
+
+    def compute(r, xop, xg, cols_ref, cols2_ref, w, b):
+        w0, w1, w2, w3, w4 = w
+        b1, b2, b3, b4, b5 = b
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT), 1)
+        trow = r * BLK + ids // WB - TOP  # buffer row -> tile row
+        col = ids % WB
+        valid = (trow >= 0) & (trow < H) & (col >= 1) & (col <= W)
+
+        chunk_no = [0]  # trace-time counter: alternates the cols buffer
+
+        def stage(parts, wj):
+            """parts [(tg [cin, padf+2G] guarded, cin), ...] -> [n_out, FLAT]
+            f32 via ``wj @ cols``.
+
+            Chunked lane-wise; each tap is a lane slice of the guarded input,
+            STORED into a cols scratch (stores normalize the arbitrary lane
+            offsets Mosaic cannot concat directly) at its part's row base,
+            then one MXU matmul per chunk with (parts x taps x channels) on
+            the contraction axis. Multi-part calls realize the packed
+            schedule's cross-stage K-axis. With ``db`` the cols buffer
+            ALTERNATES per chunk: a single buffer puts a write-after-read
+            hazard between chunk k+1's VPU tap stores and chunk k's MXU
+            matmul, serializing them — two buffers let Mosaic overlap the
+            stores with the previous matmul.
+            """
+            k = 9 * sum(cin for _, cin in parts)
+            outs = []
+            for f0 in range(0, padf, ch):
+                buf = cols2_ref if (db and chunk_no[0] % 2) else cols_ref
+                chunk_no[0] += 1
+                base = 0
+                for tg, cin in parts:
+                    for t, o in enumerate(offs):
+                        buf[base + t * cin : base + (t + 1) * cin, :] = tg[
+                            0:cin, _G + f0 + o : _G + f0 + o + ch
+                        ].astype(buf.dtype)
+                    base += 9 * cin
+                outs.append(
+                    jax.lax.dot_general(
+                        wj,
+                        buf[:k, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        # bf16 operands: native MXU mode. f32 operands (CPU
+                        # interpret tests): force true f32 like models.rrdbnet.
+                        # The cols buffer's dtype IS the operand dtype (the tap
+                        # stores cast into it).
+                        precision=(
+                            jax.lax.Precision.HIGHEST
+                            if buf.dtype == jnp.float32
+                            else jax.lax.Precision.DEFAULT
+                        ),
+                    )
+                )
+            full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+            return full[:, :FLAT]
+
+        def guard(c):
+            return jnp.pad(c, ((0, 0), (_G, _G + padf - FLAT)))
+
+        # Early-accumulation schedule: the partial-conv outputs px/p1..p4
+        # would otherwise all stay live until c5 (>20MB at production block
+        # sizes); instead each stage's contributions are folded immediately
+        # into bias-seeded f32 accumulators a2..a5 so only ONE stage output
+        # [n,FLAT] is ever live alongside the (shrinking) accumulator set —
+        # peak VMEM stays under the scoped limit.
+        dt = cols_ref.dtype  # operand dtype (c1..c4 live at it)
+        if sched == "packed":
+            # K-packed schedule (see SCHED): the five rectangles are
+            #   A {x}x{c1,c2}  B {c1}x{c2}  C {x,c1,c2}x{c3,c4,c5}
+            #   D {c3}x{c4,c5} E {c4}x{c5}
+            # C is the zero-padding M=2gc+nf / K=9(nf+2gc) matmul; x's and
+            # c1's taps are stored a second time for it.
+            pa = stage([(xop, nf)], w0[:])  # [2gc, FLAT]
+            c1 = jnp.where(valid, _lrelu(pa[0:gc] + b1[:]), 0.0).astype(dt)
+            a2 = pa[gc:] + b2[:]
+            g1 = guard(c1)
+            pb = stage([(g1, gc)], w1[:])  # [gc, FLAT]
+            c2 = jnp.where(valid, _lrelu(a2 + pb), 0.0).astype(dt)
+            pc = stage([(xop, nf), (g1, gc), (guard(c2), gc)], w2[:])
+            c3 = jnp.where(valid, _lrelu(pc[0:gc] + b3[:]), 0.0).astype(dt)
+            a4 = pc[gc : 2 * gc] + b4[:]
+            a5 = pc[2 * gc :] + b5[:]
+            pd = stage([(guard(c3), gc)], w3[:])  # [gc+nf, FLAT]
+            c4 = jnp.where(valid, _lrelu(a4 + pd[0:gc]), 0.0).astype(dt)
+            a5 = a5 + pd[gc:]
+            c5 = a5 + stage([(guard(c4), gc)], w4[:])  # [nf, FLAT]
+        else:
+            px = stage([(xop, nf)], w0[:])  # [4gc+nf, FLAT] f32
+            c1 = jnp.where(valid, _lrelu(px[0:gc] + b1[:]), 0.0).astype(dt)
+            a2 = px[gc : 2 * gc] + b2[:]
+            a3 = px[2 * gc : 3 * gc] + b3[:]
+            a4 = px[3 * gc : 4 * gc] + b4[:]
+            a5 = px[4 * gc :] + b5[:]
+            p1 = stage([(guard(c1), gc)], w1[:])  # [3gc+nf, FLAT]
+            c2 = jnp.where(valid, _lrelu(a2 + p1[0:gc]), 0.0).astype(dt)
+            a3 = a3 + p1[gc : 2 * gc]
+            a4 = a4 + p1[2 * gc : 3 * gc]
+            a5 = a5 + p1[3 * gc :]
+            p2 = stage([(guard(c2), gc)], w2[:])  # [2gc+nf, FLAT]
+            c3 = jnp.where(valid, _lrelu(a3 + p2[0:gc]), 0.0).astype(dt)
+            a4 = a4 + p2[gc : 2 * gc]
+            a5 = a5 + p2[2 * gc :]
+            p3 = stage([(guard(c3), gc)], w3[:])  # [gc+nf, FLAT]
+            c4 = jnp.where(valid, _lrelu(a4 + p3[0:gc]), 0.0).astype(dt)
+            a5 = a5 + p3[gc:]
+            p4 = stage([(guard(c4), gc)], w4[:])  # [nf, FLAT]
+            c5 = a5 + p4
+        xc = xg[:, _G : _G + FLAT].astype(jnp.float32)
+        return jnp.where(valid, RESIDUAL_SCALE * c5 + xc, 0.0)
+
+    return compute
+
+
 def _rdb_kernel(
     x_hbm,
     w0,
@@ -295,126 +427,26 @@ def _rdb_kernel(
         xb[...] = xg[...].astype(xb.dtype)
     xop = xb if mixed_copy else xg
 
-    ids = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT), 1)
-    trow = r * BLK + ids // WB - TOP  # buffer row -> tile row
-    col = ids % WB
-    valid = (trow >= 0) & (trow < H) & (col >= 1) & (col <= W)
-
-    offs = [(dy - 1) * WB + (dx - 1) for dy in range(3) for dx in range(3)]
-    chunk_no = [0]  # trace-time counter: alternates the cols buffer
-
-    def stage(parts, wj):
-        """parts [(tg [cin, padf+2G] guarded, cin), ...] -> [n_out, FLAT]
-        f32 via ``wj @ cols``.
-
-        Chunked lane-wise; each tap is a lane slice of the guarded input,
-        STORED into a cols scratch (stores normalize the arbitrary lane
-        offsets Mosaic cannot concat directly) at its part's row base,
-        then one MXU matmul per chunk with (parts x taps x channels) on
-        the contraction axis. Multi-part calls realize the packed
-        schedule's cross-stage K-axis. With ``db`` the cols buffer
-        ALTERNATES per chunk: a single buffer puts a write-after-read
-        hazard between chunk k+1's VPU tap stores and chunk k's MXU
-        matmul, serializing them — two buffers let Mosaic overlap the
-        stores with the previous matmul.
-        """
-        k = 9 * sum(cin for _, cin in parts)
-        outs = []
-        for f0 in range(0, padf, ch):
-            buf = cols2_ref if (db and chunk_no[0] % 2) else cols_ref
-            chunk_no[0] += 1
-            base = 0
-            for tg, cin in parts:
-                for t, o in enumerate(offs):
-                    buf[base + t * cin : base + (t + 1) * cin, :] = tg[
-                        0:cin, _G + f0 + o : _G + f0 + o + ch
-                    ].astype(buf.dtype)
-                base += 9 * cin
-            outs.append(
-                jax.lax.dot_general(
-                    wj,
-                    buf[:k, :],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    # bf16 operands: native MXU mode. f32 operands (CPU
-                    # interpret tests): force true f32 like models.rrdbnet.
-                    # The cols buffer's dtype IS the operand dtype (the tap
-                    # stores cast into it).
-                    precision=(
-                        jax.lax.Precision.HIGHEST
-                        if buf.dtype == jnp.float32
-                        else jax.lax.Precision.DEFAULT
-                    ),
-                )
-            )
-        full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-        return full[:, :FLAT]
-
-    def guard(c):
-        return jnp.pad(c, ((0, 0), (_G, _G + padf - FLAT)))
-
-    # Early-accumulation schedule: the partial-conv outputs px/p1..p4 would
-    # otherwise all stay live until c5 (>20MB at production block sizes);
-    # instead each stage's contributions are folded immediately into
-    # bias-seeded f32 accumulators a2..a5 so only ONE stage output [n,FLAT]
-    # is ever live alongside the (shrinking) accumulator set — peak VMEM
-    # stays under the 16MB scoped limit at BLK=40.
-    dt = cols_ref.dtype  # operand dtype (c1..c4 live at it)
-    if sched == "packed":
-        # K-packed schedule (see SCHED): the five rectangles are
-        #   A {x}x{c1,c2}  B {c1}x{c2}  C {x,c1,c2}x{c3,c4,c5}
-        #   D {c3}x{c4,c5} E {c4}x{c5}
-        # C is the zero-padding M=2gc+nf / K=9(nf+2gc) matmul; x's and
-        # c1's taps are stored a second time for it.
-        pa = stage([(xop, nf)], w0[:])  # [2gc, FLAT]
-        c1 = jnp.where(valid, _lrelu(pa[0:gc] + b1[:]), 0.0).astype(dt)
-        a2 = pa[gc:] + b2[:]
-        g1 = guard(c1)
-        pb = stage([(g1, gc)], w1[:])  # [gc, FLAT]
-        c2 = jnp.where(valid, _lrelu(a2 + pb), 0.0).astype(dt)
-        pc = stage([(xop, nf), (g1, gc), (guard(c2), gc)], w2[:])
-        c3 = jnp.where(valid, _lrelu(pc[0:gc] + b3[:]), 0.0).astype(dt)
-        a4 = pc[gc : 2 * gc] + b4[:]
-        a5 = pc[2 * gc :] + b5[:]
-        pd = stage([(guard(c3), gc)], w3[:])  # [gc+nf, FLAT]
-        c4 = jnp.where(valid, _lrelu(a4 + pd[0:gc]), 0.0).astype(dt)
-        a5 = a5 + pd[gc:]
-        c5 = a5 + stage([(guard(c4), gc)], w4[:])  # [nf, FLAT]
-    else:
-        px = stage([(xop, nf)], w0[:])  # [4gc+nf, FLAT] f32
-        c1 = jnp.where(valid, _lrelu(px[0:gc] + b1[:]), 0.0).astype(dt)
-        a2 = px[gc : 2 * gc] + b2[:]
-        a3 = px[2 * gc : 3 * gc] + b3[:]
-        a4 = px[3 * gc : 4 * gc] + b4[:]
-        a5 = px[4 * gc :] + b5[:]
-        p1 = stage([(guard(c1), gc)], w1[:])  # [3gc+nf, FLAT]
-        c2 = jnp.where(valid, _lrelu(a2 + p1[0:gc]), 0.0).astype(dt)
-        a3 = a3 + p1[gc : 2 * gc]
-        a4 = a4 + p1[2 * gc : 3 * gc]
-        a5 = a5 + p1[3 * gc :]
-        p2 = stage([(guard(c2), gc)], w2[:])  # [2gc+nf, FLAT]
-        c3 = jnp.where(valid, _lrelu(a3 + p2[0:gc]), 0.0).astype(dt)
-        a4 = a4 + p2[gc : 2 * gc]
-        a5 = a5 + p2[2 * gc :]
-        p3 = stage([(guard(c3), gc)], w3[:])  # [gc+nf, FLAT]
-        c4 = jnp.where(valid, _lrelu(a4 + p3[0:gc]), 0.0).astype(dt)
-        a5 = a5 + p3[gc:]
-        p4 = stage([(guard(c4), gc)], w4[:])  # [nf, FLAT]
-        c5 = a5 + p4
-    xc = xg[:, _G : _G + FLAT].astype(jnp.float32)
+    compute = _make_rdb_compute(
+        H=H, W=W, WB=WB, BLK=BLK, TOP=TOP, nf=nf, gc=gc, ch=ch, db=db,
+        sched=sched,
+    )
+    y32 = compute(
+        r, xop, xg, cols_ref, cols2_ref,
+        (w0, w1, w2, w3, w4), (b1, b2, b3, b4, b5),
+    )
     if paired:
         # f32 residual over the window's hi plane, then add the center's
         # lo plane and re-split: hi' = round(y), lo' = y - hi'. Invalid
         # positions stay zero by induction (y masked to 0; lo is 0 there).
-        yf = jnp.where(valid, RESIDUAL_SCALE * c5 + xc, 0.0)
-        center = yf[:, TOP * WB : (TOP + BLK) * WB] + lo_in[0].astype(
+        center = y32[:, TOP * WB : (TOP + BLK) * WB] + lo_in[0].astype(
             jnp.float32
         )
         hi = center.astype(xg.dtype)
         hi_out[0] = hi
         lo_out[0] = (center - hi.astype(jnp.float32)).astype(xg.dtype)
         return
-    y = jnp.where(valid, RESIDUAL_SCALE * c5 + xc, 0.0).astype(xg.dtype)
+    y = y32.astype(xg.dtype)
     if not chained:
         out_ref[0] = y[:, TOP * WB : (TOP + BLK) * WB]
         return
