@@ -65,6 +65,19 @@ CHAINED_TRUNK = False
 # kernel, exactness/error-class tests, and this A/B as the record.
 PAIRED_CARRY = False
 
+# Run the ENTIRE trunk (all RRDBs, outer residuals included) in ONE
+# pallas call with the chain state resident in a 3-plane VMEM rotation
+# (ops.rdb_kernel.rdb_apply_resident): HBM sees only the trunk input
+# read, the streamed per-RDB weight blocks, and the final output write —
+# the per-RDB f32 state round-trips (+ re_apron pad copies) that make up
+# mixed mode's measured ~16% trunk cost disappear entirely. The cost: the
+# planes' VMEM footprint forces a smaller row block (plan_rows_resident),
+# i.e. more per-window halo recompute. Bit-identical to the unchained
+# composition at equal (BLK, nblk) (test_rdb_kernel). Module-level A/B
+# flag like CHAINED_TRUNK; requires num_rdb_per_rrdb == 3 and a fitting
+# VMEM plan, else the forward falls back to the unchained composition.
+RESIDENT_TRUNK = False
+
 # In mixed mode, optionally carry the TAIL's activations (upsampler at
 # 2x/4x resolution) at the operand dtype instead of f32. Measured on v5e
 # (2026-08-17, same-process A/B at the production chunk): IDENTICAL
@@ -414,6 +427,28 @@ def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
         tp, _ = jax.lax.scan(rrdb_body_paired, (t_hi, t_lo), params["rdb"])
         body = RK.from_flat(center32(*tp), H, W, WB).astype(storage_dtype)
         return _pallas_tail(params, fea, body, spec, storage_dtype, od, kernel_od)
+
+    if RESIDENT_TRUNK and not CHAINED_TRUNK and spec.num_rdb_per_rrdb == 3:
+        sb = jnp.dtype(storage_dtype).itemsize
+        ob = od.itemsize
+        blk_r, nblk_r = RK.plan_rows_resident(
+            H, WB, nf=nf, gc=gc, state_bytes=sb, op_bytes=ob
+        )
+        if blk_r:
+            n_rdb = spec.num_rrdb * spec.num_rdb_per_rrdb
+            rdbs = jax.tree.map(
+                lambda a: a.reshape((n_rdb,) + a.shape[2:]), params["rdb"]
+            )
+            t0 = RK.to_flat(fea, WB, blk_r * nblk_r, top=8)
+            yc = RK.rdb_apply_resident(
+                t0, rdbs, H=H, W=W, WB=WB, BLK=blk_r, nblk=nblk_r, nf=nf,
+                gc=gc, n_rdb=n_rdb, db=RK.COLS_DB, op_dtype=kernel_od,
+            )
+            body = RK.from_flat(yc, H, W, WB)
+            return _pallas_tail(
+                params, fea, body, spec, storage_dtype, od, kernel_od
+            )
+        # no fitting VMEM plan for this shape: unchained fallback below
 
     # chained mode runs on the TOP=8 layout (DMA offset alignment, see
     # rdb_apply_chained); the unchained composition keeps the minimal

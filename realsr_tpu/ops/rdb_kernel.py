@@ -492,7 +492,7 @@ def _rdb_kernel(
     jax.jit,
     static_argnames=(
         "H", "W", "WB", "BLK", "nblk", "nf", "gc", "ch", "db", "op_dtype",
-        "cis", "sched", "interpret",
+        "cis", "sched", "prefetch", "interpret",
     ),
 )
 def rdb_apply(
@@ -751,6 +751,331 @@ def rdb_apply_chained(
         kp["w0"], kp["w1"], kp["w2"], kp["w3"], kp["w4"],
         kp["b1"], kp["b2"], kp["b3"], kp["b4"], kp["b5"],
         u_flat, flag,
+    )
+    return out
+
+
+def _rdb_resident_kernel(
+    x_hbm,
+    w0,
+    w1,
+    w2,
+    w3,
+    w4,
+    b1,
+    b2,
+    b3,
+    b4,
+    b5,
+    out_ref,
+    planes,
+    xg,
+    xb,
+    cols_ref,
+    cols2_ref,
+    yc,
+    ug,
+    sem,
+    sem_c,
+    *,
+    H: int,
+    W: int,
+    WB: int,
+    BLK: int,
+    nblk: int,
+    nf: int,
+    gc: int,
+    ch: int,
+    db: bool,
+    n_rdb: int,
+):
+    """Whole-trunk resident kernel body: see :func:`rdb_apply_resident`.
+
+    Grid ``(B, n_rdb, nblk)`` (sequential, r fastest). The chain state
+    lives in the 3-plane VMEM rotation ``planes``: step k reads plane
+    ``k%3`` (k=0 reads ``x_hbm``) and writes plane ``(k+1)%3``. Plane 0 is
+    the **u plane**: it always holds the current RRDB's entry state (x's
+    center is copied there at k==0; each RRDB-closing step k≡2 (mod 3)
+    writes the outer residual ``0.2*y + u`` back to it, which is exactly
+    what RDB 1 of the next RRDB reads at k≡0). Plane aprons are zeroed
+    once and never written (center-row DMAs only), so — unlike the
+    chained-mode HBM layout — no garbage-row zeroing is needed. All
+    intra-step copies are synchronous VMEM↔VMEM (microseconds against a
+    ~ms compute step); the weight/bias fetches are pipelined by Pallas
+    via their blocked specs.
+    """
+    TOP = 8  # write offsets (TOP + r*BLK)*WB must be 128-lane aligned
+    R0 = BLK + 5 + TOP
+    FLAT = R0 * WB
+    _G = _guard_lanes(WB)
+    flatd = -(-FLAT // 128) * 128
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    r = pl.program_id(2)
+    ph = jax.lax.rem(k, 3)
+    p_out = jax.lax.rem(k + 1, 3)
+
+    @pl.when((b == 0) & (k == 0) & (r == 0))
+    def _zero_planes():
+        # aprons/guards must read zero; centers are overwritten per step
+        for j in range(3):
+            planes[j, :, :] = jnp.zeros(planes.shape[1:], planes.dtype)
+
+    # window fetch: lanes [r*BLK*WB, +flatd) of the TOP=8 aproned layout,
+    # from HBM at k==0 and from the input plane afterwards. The over-read
+    # beyond FLAT stays inside the plane's +128 tail pad.
+    src_off = pl.multiple_of(r * (BLK * WB), 128)
+    cp_x = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(src_off, flatd)],
+        xg.at[:, pl.ds(_G, flatd)],
+        sem,
+    )
+    cp_p = pltpu.make_async_copy(
+        planes.at[ph, :, pl.ds(src_off, flatd)],
+        xg.at[:, pl.ds(_G, flatd)],
+        sem,
+    )
+
+    @pl.when(k == 0)
+    def _fetch_hbm():
+        cp_x.start()
+
+    @pl.when(k > 0)
+    def _fetch_plane():
+        cp_p.start()
+
+    xg[:, :_G] = jnp.zeros((nf, _G), xg.dtype)
+    xg[:, _G + flatd :] = jnp.zeros((nf, xg.shape[1] - _G - flatd), xg.dtype)
+    cp_x.wait()  # wait needs only sem + bytes; cp_p copies the same count
+
+    c_off = pl.multiple_of(TOP * WB + r * (BLK * WB), 128)
+
+    @pl.when(k == 0)
+    def _u_fill():
+        # plane 0 ← x's center rows (the first RRDB's entry state). The
+        # window source offset _G + TOP*WB is 128-aligned (_G mult of 128,
+        # 8*WB mult of 256 for WB mult of 32).
+        cp = pltpu.make_async_copy(
+            xg.at[:, pl.ds(_G + TOP * WB, BLK * WB)],
+            planes.at[0, :, pl.ds(c_off, BLK * WB)],
+            sem_c,
+        )
+        cp.start()
+        cp.wait()
+
+    # mixed precision: same two operand-cast strategies as _rdb_kernel
+    mixed_copy = xb.shape == xg.shape
+    if mixed_copy:
+        xb[...] = xg[...].astype(xb.dtype)
+    xop = xb if mixed_copy else xg
+
+    compute = _make_rdb_compute(
+        H=H, W=W, WB=WB, BLK=BLK, TOP=TOP, nf=nf, gc=gc, ch=ch, db=db,
+        sched="scatter",
+    )
+    y32 = compute(
+        r, xop, xg, cols_ref, cols2_ref,
+        (w0, w1, w2, w3, w4),
+        (b1, b2, b3, b4, b5),
+    )
+    # round to the state dtype BEFORE the outer residual — bit-identical
+    # to the unchained composition (rdb_apply emits y32.astype(state);
+    # the XLA residual then re-reads it as f32).
+    center = y32[:, TOP * WB : (TOP + BLK) * WB].astype(xg.dtype)
+
+    @pl.when(ph == 2)
+    def _outer():
+        # u ← plane 0's center block r, then fold the RRDB Eltwise
+        # 0.2*y + u (x4.param coeffs [0.2, 1.0], realsr.cpp's graph).
+        cp_u = pltpu.make_async_copy(
+            planes.at[0, :, pl.ds(c_off, BLK * WB)], ug, sem_c
+        )
+        cp_u.start()
+        cp_u.wait()
+        yc[...] = (
+            RESIDUAL_SCALE * center.astype(jnp.float32)
+            + ug[...].astype(jnp.float32)
+        ).astype(xg.dtype)
+
+    @pl.when(ph != 2)
+    def _plain():
+        yc[...] = center
+
+    # write the step's center rows to the rotation plane (p_out is plane 0
+    # exactly at RRDB-closing steps, updating the u plane in place)
+    cp_o = pltpu.make_async_copy(
+        yc, planes.at[p_out, :, pl.ds(c_off, BLK * WB)], sem_c
+    )
+    cp_o.start()
+    cp_o.wait()
+
+    @pl.when(k == n_rdb - 1)
+    def _emit():
+        cp = pltpu.make_async_copy(
+            yc, out_ref.at[b, :, pl.ds(src_off, BLK * WB)], sem_c
+        )
+        cp.start()
+        cp.wait()
+
+
+def _resident_vmem_bytes(blk, nblk, wb, nf, gc, ch, sb, ob):
+    """Trace-free estimate of the resident kernel's VMEM demand (bytes).
+
+    planes (3 state planes) + window + stage peak (px live with the
+    bias-seeded accumulators) + guarded c's + cols double buffer +
+    yc/ug staging + double-buffered weight blocks. Mirrors the measured
+    composition of the unchained kernel's ~97MB peak at BLK=92."""
+    hp = blk * nblk
+    plane = (hp + 13) * wb + 128
+    flat = (blk + 13) * wb
+    padf = -(-flat // ch) * ch
+    g = _guard_lanes(wb)
+    planes = 3 * nf * plane * sb
+    window = nf * (padf + 2 * g) * sb
+    stage = (7 * gc + 2 * nf) * flat * 4
+    guards = 2 * gc * (padf + 2 * g) * ob
+    cols = 2 * 9 * nf * ch * ob
+    ycug = 2 * nf * blk * wb * sb
+    wsum = 9 * gc * (4 * nf + 6 * gc) + 9 * nf * (nf + 4 * gc)
+    return planes + window + stage + guards + cols + ycug + 2 * wsum * ob
+
+
+# VMEM budget for the resident plan: under v5e's 128MiB physical with
+# headroom for Mosaic's own staging (the chained kernel measured ~7MB
+# above the analytic sum at BLK=92).
+_RESIDENT_BUDGET = 118 * 1024 * 1024
+
+
+def plan_rows_resident(h, wb, nf=64, gc=32, ch=_CH, state_bytes=4, op_bytes=2):
+    """(BLK, nblk) for :func:`rdb_apply_resident`, or (0, 0) if no block
+    size fits the VMEM budget.
+
+    The resident kernel adds the 3 state planes (~65MB f32 at the
+    production tile) on top of the per-window working set, so its BLK must
+    be smaller than :func:`plan_rows`' sweet spot; pick the LARGEST
+    multiple of 4 that fits (larger BLK = less per-window halo recompute,
+    the resident mode's main cost: (BLK+13)/BLK of the MXU work)."""
+    base, _ = plan_rows(h, wb=wb)
+    for target in range(base, 7, -4):
+        blk, nblk = plan_rows(h, target_blk=target, wb=wb)
+        if blk > target:  # ceil rounding grew it back; skip duplicates
+            continue
+        if (
+            _resident_vmem_bytes(blk, nblk, wb, nf, gc, ch, state_bytes, op_bytes)
+            <= _RESIDENT_BUDGET
+        ):
+            return blk, nblk
+    return 0, 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "WB", "BLK", "nblk", "nf", "gc", "n_rdb", "ch", "db",
+        "op_dtype", "interpret",
+    ),
+)
+def rdb_apply_resident(
+    x_flat: jnp.ndarray,  # [B, nf, (Hp+13)*WB + 128] (top=8 layout)
+    kp: Dict[str, jnp.ndarray],  # pack_rdb_params, stacked leading [n_rdb]
+    *,
+    H: int,
+    W: int,
+    WB: int,
+    BLK: int,
+    nblk: int,
+    nf: int,
+    gc: int,
+    n_rdb: int,
+    ch: int = _CH,
+    db: bool = True,
+    op_dtype=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The ENTIRE n_rdb-RDB trunk (outer residuals included) in ONE pallas
+    call, with the chain state resident in VMEM -> center [B, nf, Hp*WB].
+
+    The per-RDB modes (:func:`rdb_apply` et al.) round-trip the chain
+    state through HBM 2x per RDB — in the mixed f32-carry default that
+    traffic (plus the per-RDB ``re_apron`` pad copy) is the measured ~16%
+    trunk cost vs all-bf16 (BASELINE.md round-3/4 decomposition). Here the
+    state never leaves the chip: three [nf, plane] VMEM planes rotate
+    through the chain (plane 0 pinned to the RRDB entry state for the
+    outer residual — reference graph: the Eltwise [0.2, 1.0] after each
+    3-RDB block, SURVEY.md §2.8), HBM sees only the input read (k==0),
+    the per-RDB weight blocks (~0.5MB each, pipelined by Pallas), and the
+    final output write. The cost: the planes' VMEM footprint forces a
+    smaller BLK than the per-RDB kernels' sweet spot, i.e. more halo
+    recompute ((BLK+13)/BLK of MXU work) — :func:`plan_rows_resident`
+    picks the largest fitting BLK, and the hardware A/B
+    (tools/resident_ab.py) decides the default.
+
+    Numerics: bit-identical to the unchained ``rdb_apply`` + ``re_apron``
+    + XLA-residual composition at equal (BLK, nblk) — same shared compute
+    (:func:`_make_rdb_compute`), same rounding points. Requires
+    ``num_rdb_per_rrdb == 3`` (the plane rotation's period).
+
+    ``n_rdb`` must be a multiple of 3; ``kp`` leaves pack_rdb_params with
+    its per-RRDB/per-RDB lead dims reshaped to one [n_rdb] axis.
+    """
+    B = x_flat.shape[0]
+    # the outer residual folds at every k ≡ 2 (mod 3); callers wanting
+    # RRDB semantics must pass n_rdb % 3 == 0 (the model wrapper gates on
+    # num_rdb_per_rrdb == 3). Other n_rdb values run a plain RDB chain
+    # with outers at each third step — used by single-RDB exactness tests.
+    R0 = BLK + 13
+    FLAT = R0 * WB
+    _G = _guard_lanes(WB)
+    padf = -(-FLAT // ch) * ch
+    op = jnp.dtype(op_dtype) if op_dtype is not None else x_flat.dtype
+    kernel = functools.partial(
+        _rdb_resident_kernel, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf,
+        gc=gc, ch=ch, db=db, n_rdb=n_rdb,
+    )
+    rep = pl.BlockSpec(memory_space=pl.ANY)
+
+    def blocked(a):
+        # None squeezes the stacked axis: the kernel sees a plain [M, K]
+        # (or [n, 1]) VMEM ref, exactly like the per-RDB kernels' weight
+        # refs (Mosaic rejects memref_slice on lane dims that aren't
+        # 128-aligned, so an .at[0] view of a (1, M, K) block would not
+        # compile for K = 9*nf = 576).
+        m, kk = a.shape[1:]
+        return pl.BlockSpec((None, m, kk), lambda b, k, r: (k, 0, 0))
+
+    plane = x_flat.shape[2]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_rdb, nblk),
+        in_specs=[rep] + [blocked(kp[n]) for n in
+                          ("w0", "w1", "w2", "w3", "w4",
+                           "b1", "b2", "b3", "b4", "b5")],
+        out_specs=rep,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, nf, nblk * BLK * WB), x_flat.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, nf, plane), x_flat.dtype),  # state planes
+            pltpu.VMEM((nf, padf + 2 * _G), x_flat.dtype),  # window
+            pltpu.VMEM((8, 128), op),  # xb dummy (cast-in-store only)
+            pltpu.VMEM((9 * nf, ch), op),
+            pltpu.VMEM((9 * nf, ch) if db else (8, 128), op),
+            pltpu.VMEM((nf, BLK * WB), x_flat.dtype),  # yc: center staging
+            pltpu.VMEM((nf, BLK * WB), x_flat.dtype),  # ug: u staging
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # planes (~65MB f32 at the production tile) + the per-window
+            # working set; plan_rows_resident budgets 118M analytic, the
+            # limit leaves Mosaic a margin under v5e's 128M physical
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x_flat,
+        kp["w0"], kp["w1"], kp["w2"], kp["w3"], kp["w4"],
+        kp["b1"], kp["b2"], kp["b3"], kp["b4"], kp["b5"],
     )
     return out
 

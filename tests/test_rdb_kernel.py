@@ -167,6 +167,111 @@ def test_chained_mode_matches_rrdb_oracle(hw_tb):
     np.testing.assert_allclose(ref, y, atol=5e-5)
 
 
+@pytest.mark.parametrize("hw_tb", [(10, 13, 4), (9, 11, 3), (8, 8, 12)])
+def test_resident_trunk_matches_rrdb_oracle(hw_tb):
+    """Whole-trunk resident kernel (rdb_apply_resident): two full RRDBs
+    with DISTINCT per-RDB weights (exercises the blocked weight streaming)
+    in ONE pallas call must match the XLA scatter oracle. Covers the
+    3-plane rotation, the k==0 u-plane fill, and the in-kernel outer
+    residual (x4.param Eltwise [0.2, 1.0])."""
+    H, W, tb = hw_tb
+    nf, gc = 16, 8
+    sps = [
+        R.repack_scatter({"rdb": _mk_params(nf, gc, seed=s)})["rdb"]
+        for s in range(6)
+    ]
+    x = np.random.default_rng(1).random((2, H, W, nf)).astype(np.float32)
+
+    t = jnp.asarray(x)
+    for g in range(2):
+        u = t
+        for j in range(3):
+            t = R._rdb_scatter(t, sps[3 * g + j], jnp.float32)
+        t = (0.2 * t.astype(jnp.float32) + u.astype(jnp.float32)).astype(
+            jnp.float32
+        )
+    ref = np.asarray(t)
+
+    WB = K.round_wb(W)
+    BLK, nblk = K.plan_rows(H, target_blk=tb)
+    kps = [K.pack_rdb_params(sp, dtype=jnp.float32) for sp in sps]
+    kp = {k: jnp.stack([d[k] for d in kps]) for k in kps[0]}
+    tf = K.to_flat(jnp.asarray(x), WB, BLK * nblk, top=8)
+    yc = K.rdb_apply_resident(
+        tf, kp, H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc,
+        n_rdb=6, interpret=True,
+    )
+    y = np.asarray(K.from_flat(yc, H, W, WB))
+    np.testing.assert_allclose(ref, y, atol=5e-5)
+
+
+def test_resident_trunk_bit_identical_to_unchained():
+    """Resident trunk == the unchained rdb_apply + re_apron + XLA-residual
+    composition BIT-FOR-BIT at equal (BLK, nblk), in mixed mode (f32
+    carry / bf16 operands) — the shared _make_rdb_compute guarantees the
+    same rounding points, and the plane rotation reproduces the exact HBM
+    round-trip values. Both sides run inside one jitted program (XLA's
+    mul+add contraction makes a jitted-vs-eager comparison 1-ulp noisy on
+    CPU; the engine always runs fully jitted)."""
+    H, W = 9, 11
+    nf, gc = 16, 8
+    od = jnp.bfloat16
+    sps = [
+        R.repack_scatter({"rdb": _mk_params(nf, gc, seed=s)})["rdb"]
+        for s in range(6)
+    ]
+    x = np.random.default_rng(7).random((2, H, W, nf)).astype(np.float32)
+    WB = K.round_wb(W)
+    BLK, nblk = K.plan_rows(H, target_blk=3)
+    Hp = BLK * nblk
+    kw = dict(
+        H=H, W=W, WB=WB, BLK=BLK, nblk=nblk, nf=nf, gc=gc, interpret=True
+    )
+    kps = [K.pack_rdb_params(sp, dtype=jnp.bfloat16) for sp in sps]
+    kp = {k: jnp.stack([d[k] for d in kps]) for k in kps[0]}
+
+    @jax.jit
+    def unchained(t):
+        for g in range(2):
+            u = t[:, :, 5 * WB : 5 * WB + Hp * WB]
+            for j in range(3):
+                t = K.re_apron(
+                    K.rdb_apply(t, kps[3 * g + j], op_dtype=od, **kw), WB
+                )
+            out = (
+                0.2 * t[:, :, 5 * WB : 5 * WB + Hp * WB].astype(jnp.float32)
+                + u.astype(jnp.float32)
+            ).astype(jnp.float32)
+            t = K.re_apron(out, WB)
+        return t[:, :, 5 * WB : 5 * WB + Hp * WB]
+
+    yun = np.asarray(unchained(K.to_flat(jnp.asarray(x), WB, Hp, top=5)))
+    yres = np.asarray(
+        K.rdb_apply_resident(
+            K.to_flat(jnp.asarray(x), WB, Hp, top=8), kp, n_rdb=6,
+            op_dtype=od, **kw,
+        )
+    )
+    np.testing.assert_array_equal(yun, yres)
+
+
+def test_plan_rows_resident_fits_budget():
+    """plan_rows_resident returns a (BLK, nblk) whose analytic VMEM demand
+    fits the budget at every production bucket (mixed f32-state default),
+    and a smaller-or-equal BLK than the per-RDB plan (the planes tax)."""
+    for side in (148, 212, 276):
+        wb = K.round_wb(side)
+        blk, nblk = K.plan_rows_resident(side, wb)
+        base_blk, _ = K.plan_rows(side, wb=wb)
+        assert blk > 0 and nblk > 0 and blk * nblk >= side
+        assert blk % 4 == 0
+        assert blk <= base_blk
+        assert (
+            K._resident_vmem_bytes(blk, nblk, wb, 64, 32, K._CH, 4, 2)
+            <= K._RESIDENT_BUDGET
+        )
+
+
 def test_flat_layout_roundtrip():
     x = np.random.default_rng(0).random((2, 7, 9, 4)).astype(np.float32)
     WB = K.round_wb(9)
@@ -208,6 +313,42 @@ def test_forward_pallas_variant_matches_dense():
     finally:
         K.rdb_apply = orig_rdb
         K.rdb_apply_chained = orig_chained
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_forward_pallas_resident_trunk_matches_dense():
+    """Full tiny RRDBNet forward with RESIDENT_TRUNK on == dense."""
+    from realsr_tpu.models.rrdbnet import (
+        RRDBNetSpec,
+        init_rrdbnet_params,
+        repack_scatter,
+        rrdbnet_forward,
+    )
+    import functools
+
+    spec = RRDBNetSpec(num_rrdb=2, nf=16, gc=8)
+    p = init_rrdbnet_params(spec, seed=7)
+    pp = dict(p)
+    pp["rdb"] = jax.tree.map(
+        np.asarray,
+        K.pack_rdb_params(repack_scatter(p)["rdb"], dtype=jnp.float32),
+    )
+    x = np.random.default_rng(8).random((1, 12, 10, 3)).astype(np.float32)
+    ref = rrdbnet_forward(p, x, spec, storage_dtype=jnp.float32)
+
+    orig_res = K.rdb_apply_resident
+    orig_flag = R.RESIDENT_TRUNK
+    K.rdb_apply_resident = functools.partial(orig_res, interpret=True)
+    R.RESIDENT_TRUNK = True
+    try:
+        got = rrdbnet_forward(
+            pp, x, spec, storage_dtype=jnp.float32, variant="pallas"
+        )
+    finally:
+        K.rdb_apply_resident = orig_res
+        R.RESIDENT_TRUNK = orig_flag
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-5
     )
