@@ -300,6 +300,22 @@ class RealSR:
             )
             _R.PACKED_TAIL = bool(ok)
             _R.PACKED_TAIL_KERNEL = 2 if ok else 0
+        if variant == "pallas":
+            # VMEM-resident whole-trunk kernel is the pallas default since
+            # round 4: the chain state never round-trips HBM, measured
+            # 1.098x trunk at the production chunk AND a 3.4x faster Mosaic
+            # compile (52s vs 175s, tools/resident_ab.py; BASELINE.md
+            # round-4). The forward self-gates: it needs 3 RDBs per RRDB
+            # and a fitting VMEM plan (plan_rows_resident), else it falls
+            # back to the unchained composition. Env value 0/non-digit
+            # opts out; set explicitly so a prior engine's state can't
+            # leak between loads.
+            from realsr_tpu.models import rrdbnet as _R
+
+            env = os.environ.get("REALSR_TPU_RESIDENT_TRUNK", "")
+            _R.RESIDENT_TRUNK = (
+                int(env) > 0 if env.isdigit() else False
+            ) if env else True
         self.scale = self.bundle.scale
         where = replicated(self.mesh) if self.mesh is not None else self.device
         self._params = jax.device_put(self.bundle.params, where)

@@ -73,9 +73,13 @@ PAIRED_CARRY = False
 # mixed mode's measured ~16% trunk cost disappear entirely. The cost: the
 # planes' VMEM footprint forces a smaller row block (plan_rows_resident),
 # i.e. more per-window halo recompute. Bit-identical to the unchained
-# composition at equal (BLK, nblk) (test_rdb_kernel). Module-level A/B
-# flag like CHAINED_TRUNK; requires num_rdb_per_rrdb == 3 and a fitting
-# VMEM plan, else the forward falls back to the unchained composition.
+# composition at equal (BLK, nblk) (test_rdb_kernel). Requires
+# num_rdb_per_rrdb == 3 and a fitting VMEM plan, else the forward falls
+# back to the unchained composition. Module default False (direct
+# rrdbnet_forward callers opt in); RealSR.load() sets it True on the
+# pallas path since round 4 — measured 1.098x trunk AND a 3.4x faster
+# Mosaic compile (tools/resident_ab.py, BASELINE.md round-4) —
+# REALSR_TPU_RESIDENT_TRUNK=0 opts out.
 RESIDENT_TRUNK = False
 
 # In mixed mode, optionally carry the TAIL's activations (upsampler at

@@ -33,6 +33,28 @@ from realsr_tpu.models.rrdbnet import RRDBNetSpec
 TINY_SPEC = RRDBNetSpec(num_rrdb=2, num_rdb_per_rrdb=3, nf=16, gc=8, num_upsample=2)
 
 
+@pytest.fixture(autouse=True)
+def _reset_trace_time_flags():
+    """RealSR.load() sets trace-time module flags (packed tail, resident
+    trunk) as the pallas-path defaults; in production every load() sets
+    them explicitly so nothing leaks between engines. Tests, however, mix
+    engine loads with DIRECT rrdbnet_forward calls that rely on the module
+    defaults — restore the flags around every test so an engine-default
+    test can't leak a pallas-only mode into a CPU-path forward."""
+    from realsr_tpu.models import rrdbnet as R
+
+    names = (
+        "PACKED_TAIL", "PACKED_TAIL_KERNEL", "RESIDENT_TRUNK",
+        "CHAINED_TRUNK", "PAIRED_CARRY", "UPCONV_PHASE",
+    )
+    saved = {n: getattr(R, n) for n in names}
+    try:
+        yield
+    finally:
+        for n, v in saved.items():
+            setattr(R, n, v)
+
+
 @pytest.fixture(scope="session")
 def tiny_model_dir(tmp_path_factory):
     from realsr_tpu.ncnn.synth import make_model_dir

@@ -505,6 +505,37 @@ def test_packed_tail_env_opt_outs_mean_off(tiny_model_dir, monkeypatch, val):
         R.PACKED_TAIL_KERNEL = 0
 
 
+@pytest.mark.parametrize(
+    "env,expect",
+    [(None, True), ("1", True), ("0", False), ("off", False), ("", True)],
+)
+def test_resident_trunk_engine_default(tiny_model_dir, monkeypatch, env, expect):
+    """load() on the pallas path turns the VMEM-resident whole-trunk
+    kernel ON by default (round-4 default: 1.098x trunk, 3.4x faster
+    compile); REALSR_TPU_RESIDENT_TRUNK=0 (or any non-digit) opts out; the
+    dense/CPU variant never touches the flag."""
+    from realsr_tpu.models import rrdbnet as R
+
+    assert not R.RESIDENT_TRUNK  # module default stays off
+    monkeypatch.delenv("REALSR_TPU_RESIDENT_TRUNK", raising=False)
+    if env is not None:
+        monkeypatch.setenv("REALSR_TPU_RESIDENT_TRUNK", env)
+    try:
+        # variant forced to pallas: load() sets flags; jits trace lazily,
+        # so no Mosaic execution happens on CPU here
+        e = RealSR(gpuid=-1, config=EngineConfig(variant="pallas"))
+        e.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+        assert R.RESIDENT_TRUNK is expect
+        # auto on CPU resolves to dense: the flag must be left alone
+        R.RESIDENT_TRUNK = False
+        e2 = RealSR(gpuid=-1, config=EngineConfig(tilesize=16))
+        e2.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+        assert e2.variant == "dense"
+        assert not R.RESIDENT_TRUNK
+    finally:
+        R.RESIDENT_TRUNK = False
+
+
 def test_fast_start_decision_logic(tiny_model_dir, monkeypatch):
     """Fast start (VERDICT r3 next #6): with production programs missing,
     the first image drops to FAST_START_TILE and background compiles are

@@ -110,8 +110,11 @@ def test_mesh_pallas_shard_map(tiny_model_dir, rng):
     dense.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
     want = dense.process(img)
 
-    orig = K.rdb_apply
-    K.rdb_apply = functools.partial(orig, interpret=True)
+    # the engine default enables the resident whole-trunk kernel on the
+    # pallas path (round 4) — route BOTH kernels through interpret mode
+    origs = (K.rdb_apply, K.rdb_apply_resident)
+    K.rdb_apply = functools.partial(origs[0], interpret=True)
+    K.rdb_apply_resident = functools.partial(origs[1], interpret=True)
     try:
         pal = RealSR(
             config=EngineConfig(tilesize=16, storage="float32", variant="pallas"),
@@ -120,7 +123,7 @@ def test_mesh_pallas_shard_map(tiny_model_dir, rng):
         pal.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
         got = pal.process(img)
     finally:
-        K.rdb_apply = orig
+        K.rdb_apply, K.rdb_apply_resident = origs
     assert_u8_close(want, got)
 
 
@@ -178,9 +181,10 @@ def test_mesh_pallas_packed_tail_kernel(tmp_path, rng):
     mesh = make_mesh(jax.devices()[:2])
     img = rng.integers(0, 256, (24, 20, 3), dtype=np.uint8)
 
-    origs = (K.rdb_apply, TK.up2_hr_last_packed)
+    origs = (K.rdb_apply, TK.up2_hr_last_packed, K.rdb_apply_resident)
     K.rdb_apply = functools.partial(origs[0], interpret=True)
     TK.up2_hr_last_packed = functools.partial(origs[1], interpret=True)
+    K.rdb_apply_resident = functools.partial(origs[2], interpret=True)
     try:
         base = RealSR(
             config=EngineConfig(tilesize=16, storage="float32", variant="pallas"),
@@ -200,5 +204,5 @@ def test_mesh_pallas_packed_tail_kernel(tmp_path, rng):
     finally:
         R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = False, 0
         R.PACKED_TAIL_MIN_SIDE = old_min
-        K.rdb_apply, TK.up2_hr_last_packed = origs
+        K.rdb_apply, TK.up2_hr_last_packed, K.rdb_apply_resident = origs
     assert_u8_close(want, got)
