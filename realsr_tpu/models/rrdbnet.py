@@ -22,6 +22,7 @@ back to storage.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict
 
 import jax
@@ -438,6 +439,13 @@ def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
         blk_r, nblk_r = RK.plan_rows_resident(
             H, WB, nf=nf, gc=gc, state_bytes=sb, op_bytes=ob
         )
+        # on-hardware BLK sweep hook (trace-time env knob, parsed
+        # defensively like REALSR_TPU_TAIL_BLK): overrides the analytic
+        # VMEM plan — an over-budget target fails loudly at Mosaic
+        # compile, which is exactly what a sweep wants to map the edge.
+        _raw = os.environ.get("REALSR_TPU_RESIDENT_BLK", "")
+        if _raw.isdigit() and int(_raw) > 0:
+            blk_r, nblk_r = RK.plan_rows(H, target_blk=int(_raw), wb=WB)
         if blk_r:
             n_rdb = spec.num_rrdb * spec.num_rdb_per_rrdb
             rdbs = jax.tree.map(

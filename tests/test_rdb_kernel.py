@@ -354,6 +354,59 @@ def test_forward_pallas_resident_trunk_matches_dense():
     )
 
 
+def test_resident_blk_env_override(monkeypatch):
+    """REALSR_TPU_RESIDENT_BLK forces the resident plan's row block (the
+    on-hardware sweep hook) and the forward stays exact; non-digit values
+    are ignored (defensive parse like every env int)."""
+    from realsr_tpu.models.rrdbnet import (
+        RRDBNetSpec,
+        init_rrdbnet_params,
+        repack_scatter,
+        rrdbnet_forward,
+    )
+    import functools
+
+    spec = RRDBNetSpec(num_rrdb=2, nf=16, gc=8)
+    p = init_rrdbnet_params(spec, seed=7)
+    pp = dict(p)
+    pp["rdb"] = jax.tree.map(
+        np.asarray,
+        K.pack_rdb_params(repack_scatter(p)["rdb"], dtype=jnp.float32),
+    )
+    x = np.random.default_rng(8).random((1, 12, 10, 3)).astype(np.float32)
+    ref = rrdbnet_forward(p, x, spec, storage_dtype=jnp.float32)
+
+    seen = []
+    orig_res = K.rdb_apply_resident
+
+    def spy(t0, kp, **kw):
+        seen.append((kw["BLK"], kw["nblk"]))
+        return orig_res(t0, kp, interpret=True, **kw)
+
+    K.rdb_apply_resident = spy
+    R.RESIDENT_TRUNK = True
+    try:
+        for raw, want_blk in (("4", 4), ("junk", None)):
+            monkeypatch.setenv("REALSR_TPU_RESIDENT_BLK", raw)
+            got = rrdbnet_forward(
+                pp, x, spec, storage_dtype=jnp.float32, variant="pallas"
+            )
+            np.testing.assert_allclose(
+                np.asarray(ref), np.asarray(got), rtol=2e-4, atol=2e-5
+            )
+            if want_blk is not None:
+                assert seen[-1][0] == want_blk, seen[-1]
+    finally:
+        K.rdb_apply_resident = orig_res
+        R.RESIDENT_TRUNK = False
+    # the junk value fell back to the analytic plan
+    H, W = x.shape[1:3]
+    wb = K.round_wb(W)
+    assert seen[1] == K.plan_rows_resident(
+        H, wb, nf=spec.nf, gc=spec.gc, state_bytes=4, op_bytes=4
+    ), seen
+
+
 def test_upconv_x2_equals_nearest_plus_conv():
     """The stride-2 transposed-conv upsampler (tap-sum 4x4 kernel) is the
     exact algebra of nearest-x2 -> conv3x3 -> lrelu."""
