@@ -30,6 +30,7 @@ import dataclasses
 import functools
 import os
 import sys
+import threading
 from typing import Callable, Optional
 
 import numpy as np
@@ -79,6 +80,11 @@ class EngineConfig:
 
 
 FAST_START_TILE = 64  # padded side 84: Mosaic-compiles in ~9 s (BASELINE.md)
+
+# Serializes trace-time module-flag flips (models.rrdbnet PACKED_TAIL et
+# al.) across background compile threads: tracing under flipped flags is
+# seconds and holds this lock; the native compile runs outside it.
+_TRACE_FLAG_LOCK = threading.Lock()
 
 
 def _resolve_precision(storage: str, device) -> tuple:
@@ -184,11 +190,13 @@ class RealSR:
         self.sharding_probe: Optional[Callable] = None
         # fast-start state: AOT-compiled production compute programs keyed
         # by (ph, pw, bsz, tta, with_alpha), filled by background threads
-        import threading
-
         self._aot_compute: dict = {}
         self._bg_started: set = set()
         self._bg_lock = threading.Lock()
+        # background compiles hold off until the first image's foreground
+        # compile completes (or a timeout, e.g. a load()+precompile()-only
+        # process that never dispatches)
+        self._first_dispatch_done = threading.Event()
         self.bundle: Optional[ModelBundle] = None
         self._cpu_sibling: Optional["RealSR"] = None  # process_cpu's engine
         self.scale = 4
@@ -638,8 +646,6 @@ class RealSR:
         return tilesize if not missing else FAST_START_TILE
 
     def _spawn_bg_compile(self, key, dims, channels) -> None:
-        import threading
-
         ph, pw, hn, wn, bsz = dims
         with_alpha = channels == 4
         if self.mesh is not None:
@@ -658,18 +664,67 @@ class RealSR:
             (bsz, hn, wn, 1) if with_alpha else (bsz, 0, 0, 0), jnp.float32
         )
 
+        from realsr_tpu.models import rrdbnet as _R
+
+        # STAGED fast start: when the production program would embed the
+        # packed-tail Pallas kernel (its Mosaic compile alone is ~7 min,
+        # BASELINE.md round-4), first compile the SAME program with the
+        # tail interleaved (~1 min with the resident trunk) and serve
+        # production-tile throughput on it; the packed-tail executable
+        # hot-swaps in when it lands (+~3% e2e). Tail formulation, like
+        # the fast-start tile switch, changes pixels only within the
+        # documented cross-program noise class (BASELINE.md round-4
+        # deployment note); pass an explicit -t for bit-reproducibility.
+        staged = bool(
+            _R.PACKED_TAIL
+            and _R.PACKED_TAIL_KERNEL
+            and min(ph, pw) >= _R.PACKED_TAIL_MIN_SIDE
+        )
+
+        def lower_program(packed_tail: bool):
+            # trace-time module flags: serialize the flip across compile
+            # threads; the native XLA/Mosaic compile below runs outside
+            # the lock (it releases the GIL and dominates wall time)
+            with _TRACE_FLAG_LOCK:
+                old = (_R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL)
+                if not packed_tail:
+                    _R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL = False, 0
+                try:
+                    return self._compute_chunk.lower(
+                        tiles, atiles, ph, pw, hn, wn, self.tta_mode,
+                        with_alpha,
+                    )
+                finally:
+                    _R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL = old
+
         def work():
+            self._first_dispatch_done.wait(timeout=120)
+            if staged:
+                try:
+                    comp = lower_program(False).compile()
+                    with self._bg_lock:
+                        # the packed-tail stage may have landed first
+                        self._aot_compute.setdefault(key, comp)
+                except Exception as exc:
+                    print(
+                        f"realsr-tpu: interleaved-tail stage of the "
+                        f"{ph}x{pw} program failed ({exc}); waiting for "
+                        "the packed-tail compile",
+                        file=sys.stderr,
+                    )
             try:
-                comp = self._compute_chunk.lower(
-                    tiles, atiles, ph, pw, hn, wn, self.tta_mode, with_alpha
-                ).compile()
+                comp = lower_program(True).compile()
                 with self._bg_lock:
                     self._aot_compute[key] = comp
             except Exception as exc:  # stay on the fast tile, loudly
                 print(
                     f"realsr-tpu: background compile of the {ph}x{pw} "
                     f"program failed ({exc}); continuing on tile "
-                    f"{FAST_START_TILE}",
+                    f"{FAST_START_TILE}"
+                    if key not in self._aot_compute
+                    else f"realsr-tpu: packed-tail compile of the {ph}x{pw}"
+                    f" program failed ({exc}); keeping the interleaved-"
+                    "tail program",
                     file=sys.stderr,
                 )
 
@@ -896,6 +951,11 @@ class RealSR:
             padded, alpha, out_buf, buckets, tilesize, c,
             progress_cb, 0, len(plan.tiles) * n_img,
         )
+        # unblock background compiles: the foreground jit compile (the
+        # expensive part of the first dispatch) is done, so trace/compile
+        # threads no longer contend with it (measured: bg contention took
+        # the cold first image 32.6 -> 73.8 s, BASELINE.md round-4)
+        self._first_dispatch_done.set()
         return self._finish_out(out_buf)
 
     def _alloc_out(self, shape) -> jnp.ndarray:

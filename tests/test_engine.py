@@ -579,6 +579,69 @@ def test_fast_start_decision_logic(tiny_model_dir, monkeypatch):
     assert not eng._fast_start_enabled()
 
 
+def test_fast_start_staged_tail_compile(tiny_model_dir, capsys):
+    """Staged fast start (round 4): when the production program would
+    embed the packed-tail kernel, an interleaved-tail stage compiles
+    first and serves; the packed-tail executable hot-swaps in when it
+    lands, and a packed-stage failure KEEPS the interleaved program.
+    Trace-time flags are restored either way."""
+    import time
+
+    from realsr_tpu.models import rrdbnet as R
+
+    eng = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
+    eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = True, 2  # autouse fixture restores
+
+    events = []
+
+    class FakeJit:
+        def __init__(self, fail_packed):
+            self.fail_packed = fail_packed
+
+        def lower(self, *a, **k):
+            packed = R.PACKED_TAIL  # flag state AT TRACE TIME
+            events.append(("lower", packed))
+            fail = self.fail_packed
+
+            class L:
+                def compile(_):
+                    if packed and fail:
+                        raise RuntimeError("mosaic boom")
+                    return ("packed" if packed else "interleaved",)
+
+            return L()
+
+    def wait_for(key, want):
+        for _ in range(200):
+            with eng._bg_lock:
+                if eng._aot_compute.get(key) == want:
+                    return True
+            time.sleep(0.02)
+        return False
+
+    eng._first_dispatch_done.set()  # tests spawn without dispatching
+    dims = (148, 148, 128, 128, 2)  # min side >= PACKED_TAIL_MIN_SIDE
+    # packed stage fails -> interleaved program stays
+    eng._compute_chunk = FakeJit(fail_packed=True)
+    eng._spawn_bg_compile(("k1",), dims, 3)
+    assert wait_for(("k1",), ("interleaved",))
+    assert "keeping the interleaved-tail program" in capsys.readouterr().err
+    # packed stage succeeds -> it replaces the interleaved program
+    eng._compute_chunk = FakeJit(fail_packed=False)
+    eng._spawn_bg_compile(("k2",), dims, 3)
+    assert wait_for(("k2",), ("packed",))
+    # both stages traced, interleaved first, and the flags were restored
+    assert events[:2] == [("lower", False), ("lower", True)]
+    assert R.PACKED_TAIL and R.PACKED_TAIL_KERNEL == 2
+    # below the staging side: single unstaged compile
+    events.clear()
+    eng._compute_chunk = FakeJit(fail_packed=False)
+    eng._spawn_bg_compile(("k3",), (84, 84, 64, 64, 2), 3)
+    assert wait_for(("k3",), ("packed",))
+    assert events == [("lower", True)]
+
+
 def test_fast_start_aot_dispatch_path(tiny_model_dir, rng):
     """A pre-populated AOT executable is used by the dispatch loop and
     produces the same pixels as the jit path (CPU dense variant — the

@@ -45,7 +45,14 @@ def main():
     cands = [int(a) for a in sys.argv[4:]] or sorted(
         {max(8, base[0] - 8), base[0] - 4, base[0], base[0] + 4, base[0] + 8}
     )
-    print(f"analytic plan {base}; sweeping BLK {cands}")
+    # plan_rows rounds a target through nblk=ceil(H/target), so nearby
+    # targets can resolve to the SAME (BLK, nblk) — dedup on the RESOLVED
+    # plan and label output with it, not the requested target.
+    plans = {}
+    for t in cands:
+        plans.setdefault(K.plan_rows(H, target_blk=t, wb=wb), t)
+    cands = sorted(plans.values())
+    print(f"analytic plan {base}; resolved plans {sorted(plans)}")
 
     R.RESIDENT_TRUNK = True
     fns, ok = {}, []
@@ -67,7 +74,14 @@ def main():
         except Exception as e:
             print(f"BLK {blk}: FAILED to compile/run: {str(e)[:160]}")
             continue
-        print(f"BLK {blk}: compile+first {time.perf_counter() - t0:.1f}s")
+        plan = K.plan_rows(H, target_blk=blk, wb=wb)
+        est = K._resident_vmem_bytes(
+            plan[0], plan[1], wb, nf=64, gc=32, ch=K._CH, sb=4, ob=2
+        ) / 1e6
+        print(
+            f"BLK {blk} -> plan {plan} (~{est:.0f}MB est): "
+            f"compile+first {time.perf_counter() - t0:.1f}s"
+        )
         fns[blk] = fn
         ok.append(blk)
 
