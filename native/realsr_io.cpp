@@ -13,12 +13,17 @@
 //  - encode: webp LOSSLESS (webp_image.h:66-76), jpg quality 100
 //    (main.cpp:391), png default.
 
+#include <algorithm>
+#include <atomic>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <csetjmp>
 #include <string>
+#include <thread>
 #include <vector>
+
+#include <zlib.h>
 
 #include <png.h>
 #include <jpeglib.h>
@@ -188,33 +193,144 @@ unsigned char* decode_jpeg(const unsigned char* data, size_t len, int* w,
 
 // ---- encoders -----------------------------------------------------------
 
+// Strip-parallel PNG encoder (mirrors realsr_tpu/io/pngz.py — one design,
+// two runtimes). The reference's stb_image_write encode measures 1.8 MP/s
+// at 32.1 MB for a 16.8 MP 4x output (same-content A/B 2026-08-19,
+// BASELINE.md round-5 save-stage table), an order of magnitude under the
+// device's steady state — the save stage would bind a directory run.
+// Here: every row SUB-filtered, strips deflated INDEPENDENTLY (raw
+// deflate, non-final strips end with Z_FULL_FLUSH so the stream is
+// byte-aligned with a reset window — the pigz technique) on std::thread
+// workers, concatenated into one valid zlib stream; Z_RLE level 1
+// default measures 16.9 MP/s at 27.9 MB single-threaded — 9.4x faster
+// AND 13% smaller than the reference's encoder, and it scales the encode
+// of ONE image across cores. REALSR_TPU_PNG_LEVEL=0..9 opts into the
+// default zlib strategy at that level (smaller, slower).
+
+void png_put_u32(std::vector<unsigned char>& out, uint32_t v) {
+  out.push_back((v >> 24) & 0xff);
+  out.push_back((v >> 16) & 0xff);
+  out.push_back((v >> 8) & 0xff);
+  out.push_back(v & 0xff);
+}
+
+void png_put_chunk(std::vector<unsigned char>& out, const char tag[4],
+                   const unsigned char* data, size_t len) {
+  png_put_u32(out, static_cast<uint32_t>(len));
+  size_t tag_at = out.size();
+  out.insert(out.end(), tag, tag + 4);
+  out.insert(out.end(), data, data + len);
+  uint32_t crc = static_cast<uint32_t>(
+      crc32(0L, out.data() + tag_at, static_cast<uInt>(4 + len)));
+  png_put_u32(out, crc);
+}
+
+// deflate one strip of the filtered scanline stream; non-final strips
+// flush with Z_FULL_FLUSH (byte-aligned boundary + window reset)
+bool png_deflate_strip(const unsigned char* data, size_t len, bool last,
+                       int level, int strategy,
+                       std::vector<unsigned char>& out) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, strategy) != Z_OK)
+    return false;
+  out.resize(deflateBound(&zs, static_cast<uLong>(len)) + 16);
+  zs.next_in = const_cast<Bytef*>(data);
+  zs.avail_in = static_cast<uInt>(len);
+  zs.next_out = out.data();
+  zs.avail_out = static_cast<uInt>(out.size());
+  int rc = deflate(&zs, last ? Z_FINISH : Z_FULL_FLUSH);
+  bool ok = last ? rc == Z_STREAM_END : rc == Z_OK;
+  out.resize(zs.total_out);
+  deflateEnd(&zs);
+  return ok;
+}
+
 int encode_png(const char* path, int w, int h, int c,
                const unsigned char* pixels) {
+  if (w <= 0 || h <= 0 || c < 1 || c > 4) return 0;
+  int level = 1, strategy = Z_RLE;
+  if (const char* env = std::getenv("REALSR_TPU_PNG_LEVEL")) {
+    if (env[0] >= '0' && env[0] <= '9' && env[1] == '\0') {
+      level = env[0] - '0';
+      strategy = Z_DEFAULT_STRATEGY;
+    }
+  }
+  const size_t row = static_cast<size_t>(w) * c;
+  const size_t frow = row + 1;  // + filter byte
+  // SUB-filter all rows into one contiguous scanline stream
+  std::vector<unsigned char> filt(frow * h);
+  for (int y = 0; y < h; y++) {
+    const unsigned char* src = pixels + static_cast<size_t>(y) * row;
+    unsigned char* dst = filt.data() + static_cast<size_t>(y) * frow;
+    dst[0] = 1;  // SUB
+    std::memcpy(dst + 1, src, c);
+    for (size_t x = c; x < row; x++)
+      dst[1 + x] = static_cast<unsigned char>(src[x] - src[x - c]);
+  }
+  // split into ~4 MB strips of whole rows; deflate strips concurrently
+  const size_t strip_rows =
+      frow ? std::max<size_t>(1, (4u << 20) / frow) : 1;
+  const size_t nstrips = (static_cast<size_t>(h) + strip_rows - 1) / strip_rows;
+  std::vector<std::vector<unsigned char>> parts(nstrips);
+  std::vector<char> oks(nstrips, 0);
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t nthreads = std::min<size_t>(nstrips, hw ? hw : 1);
+  std::atomic<size_t> next(0);
+  auto work = [&]() {
+    for (size_t i = next.fetch_add(1); i < nstrips; i = next.fetch_add(1)) {
+      size_t y0 = i * strip_rows;
+      size_t y1 = std::min<size_t>(y0 + strip_rows, h);
+      oks[i] = png_deflate_strip(filt.data() + y0 * frow, (y1 - y0) * frow,
+                                 i == nstrips - 1, level, strategy, parts[i])
+                   ? 1
+                   : 0;
+    }
+  };
+  if (nthreads > 1) {
+    std::vector<std::thread> threads;
+    for (size_t t = 0; t < nthreads; t++) threads.emplace_back(work);
+    for (auto& t : threads) t.join();
+  } else {
+    work();
+  }
+  for (size_t i = 0; i < nstrips; i++)
+    if (!oks[i]) return 0;
+
+  uint32_t adler = static_cast<uint32_t>(
+      adler32(1L, filt.data(), static_cast<uInt>(filt.size())));
+
+  static const int color_type[5] = {0, 0, 4, 2, 6};  // gray/LA/RGB/RGBA
+  std::vector<unsigned char> out;
+  size_t zlen = 2 + 4;  // zlib header + adler
+  for (const auto& p : parts) zlen += p.size();
+  out.reserve(8 + 25 + 12 + zlen + 12 + 12);
+  static const unsigned char sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n',
+                                       0x1a, '\n'};
+  out.insert(out.end(), sig, sig + 8);
+  unsigned char ihdr[13];
+  ihdr[0] = (w >> 24) & 0xff; ihdr[1] = (w >> 16) & 0xff;
+  ihdr[2] = (w >> 8) & 0xff; ihdr[3] = w & 0xff;
+  ihdr[4] = (h >> 24) & 0xff; ihdr[5] = (h >> 16) & 0xff;
+  ihdr[6] = (h >> 8) & 0xff; ihdr[7] = h & 0xff;
+  ihdr[8] = 8;  // bit depth
+  ihdr[9] = static_cast<unsigned char>(color_type[c]);
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;
+  png_put_chunk(out, "IHDR", ihdr, 13);
+  std::vector<unsigned char> idat;
+  idat.reserve(zlen);
+  idat.push_back(0x78);
+  idat.push_back(0x01);
+  for (const auto& p : parts) idat.insert(idat.end(), p.begin(), p.end());
+  png_put_u32(idat, adler);
+  png_put_chunk(out, "IDAT", idat.data(), idat.size());
+  png_put_chunk(out, "IEND", nullptr, 0);
+
   FILE* fp = std::fopen(path, "wb");
   if (!fp) return 0;
-  png_structp png =
-      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-  png_infop info = png_create_info_struct(png);
-  if (setjmp(png_jmpbuf(png))) {
-    png_destroy_write_struct(&png, &info);
-    std::fclose(fp);
-    return 0;
-  }
-  png_init_io(png, fp);
-  int color = c == 4 ? PNG_COLOR_TYPE_RGBA
-             : c == 3 ? PNG_COLOR_TYPE_RGB
-                      : PNG_COLOR_TYPE_GRAY;
-  png_set_IHDR(png, info, w, h, 8, color, PNG_INTERLACE_NONE,
-               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
-  png_write_info(png, info);
-  std::vector<png_bytep> rows(h);
-  for (int y = 0; y < h; y++)
-    rows[y] = const_cast<png_bytep>(pixels + static_cast<size_t>(y) * w * c);
-  png_write_image(png, rows.data());
-  png_write_end(png, nullptr);
-  png_destroy_write_struct(&png, &info);
+  bool ok = std::fwrite(out.data(), 1, out.size(), fp) == out.size();
   std::fclose(fp);
-  return 1;
+  return ok ? 1 : 0;
 }
 
 int encode_jpeg(const char* path, int w, int h, int c,

@@ -717,11 +717,13 @@ class RealSR:
                 with self._bg_lock:
                     self._aot_compute[key] = comp
             except Exception as exc:  # stay on the fast tile, loudly
+                with self._bg_lock:  # key presence must be read under the
+                    present = key in self._aot_compute  # lock the writers hold
                 print(
                     f"realsr-tpu: background compile of the {ph}x{pw} "
                     f"program failed ({exc}); continuing on tile "
                     f"{FAST_START_TILE}"
-                    if key not in self._aot_compute
+                    if not present
                     else f"realsr-tpu: packed-tail compile of the {ph}x{pw}"
                     f" program failed ({exc}); keeping the interleaved-"
                     "tail program",
@@ -829,12 +831,16 @@ class RealSR:
                 (bsz, hn, wn, 1) if with_alpha else (bsz, 0, 0, 0),
                 jnp.float32,
             )
-            lows.append((
-                (ph, pw, bsz, self.tta_mode, with_alpha),
-                self._compute_chunk.lower(
+            # the compute trace reads module-level tail flags
+            # (models.rrdbnet PACKED_TAIL et al.) that staged fast-start
+            # threads flip under _TRACE_FLAG_LOCK — hold it here too, or a
+            # precompile() racing a staged stage could bake the wrong tail
+            # formulation into a cached production executable (ADVICE r4)
+            with _TRACE_FLAG_LOCK:
+                low = self._compute_chunk.lower(
                     tiles, atiles, ph, pw, hn, wn, self.tta_mode, with_alpha
-                ),
-            ))
+                )
+            lows.append(((ph, pw, bsz, self.tta_mode, with_alpha), low))
         return lows
 
     def _compile_all(self, lowereds) -> int:
@@ -947,16 +953,36 @@ class RealSR:
             ]
             for shape, idxs in plan.buckets.items()
         }
-        out_buf, _ = self._dispatch_buckets(
-            padded, alpha, out_buf, buckets, tilesize, c,
-            progress_cb, 0, len(plan.tiles) * n_img,
-        )
-        # unblock background compiles: the foreground jit compile (the
-        # expensive part of the first dispatch) is done, so trace/compile
-        # threads no longer contend with it (measured: bg contention took
-        # the cold first image 32.6 -> 73.8 s, BASELINE.md round-4)
-        self._first_dispatch_done.set()
+        try:
+            out_buf, _ = self._dispatch_buckets(
+                padded, alpha, out_buf, buckets, tilesize, c,
+                progress_cb, 0, len(plan.tiles) * n_img,
+                aot=self._snapshot_aot(),
+            )
+        finally:
+            # unblock background compiles: the foreground jit compile (the
+            # expensive part of the first dispatch) is done — or raised —
+            # so trace/compile threads no longer contend with it (measured:
+            # bg contention took the cold first image 32.6 -> 73.8 s,
+            # BASELINE.md round-4). In a finally so a failing first
+            # dispatch can't stall the background threads for their full
+            # wait timeout.
+            self._first_dispatch_done.set()
         return self._finish_out(out_buf)
+
+    def _snapshot_aot(self) -> dict:
+        """Per-IMAGE snapshot of the AOT program table. The staged
+        fast-start thread hot-swaps entries (interleaved tail ->
+        packed-tail executable) the moment a compile lands; dispatching
+        one image from a live view could then compute different chunks of
+        ONE output with two tail formulations, whose pixels differ within
+        the documented cross-program noise class (BASELINE.md round-4
+        deployment note) — a potential visible seam along a chunk
+        boundary. Snapshotting once per image (and once per
+        process_banded call, covering every band) pins a single executor
+        per output; swaps take effect on the next image."""
+        with self._bg_lock:
+            return dict(self._aot_compute)
 
     def _alloc_out(self, shape) -> jnp.ndarray:
         """Output buffer for a dispatch run. Mesh mode: one PRIVATE
@@ -975,11 +1001,16 @@ class RealSR:
 
     def _dispatch_buckets(
         self, padded, alpha, out_buf, buckets, tilesize, c,
-        progress_cb, done, total,
+        progress_cb, done, total, aot=None,
     ):
         """Dispatch all tile chunks. ``buckets``: {(ph, pw): [(img_idx, x0,
         y0)]} with origins in PADDED-BUFFER coords (y0 is band-local under
-        band streaming). Returns (out_buf, done)."""
+        band streaming). ``aot``: the caller's per-image snapshot of the
+        AOT program table (see _snapshot_aot) — never read the live table
+        here, a background hot-swap mid-image must not change the executor
+        within one output. Returns (out_buf, done)."""
+        if aot is None:
+            aot = self._snapshot_aot()
         pad = self.prepadding
         for (ph, pw), triples in buckets.items():
             hn, wn = ph - 2 * pad, pw - 2 * pad
@@ -1000,18 +1031,33 @@ class RealSR:
                     # a fast-start background thread may have AOT-compiled
                     # this bucket's program — calling the Compiled directly
                     # skips the jit dispatch cache (and, on a fresh host,
-                    # a persistent-cache round-trip)
-                    aot = self._aot_compute.get(
-                        (ph, pw, bsz, self.tta_mode, c == 4)
-                    )
-                    tiles_u8 = (
-                        aot(tiles, atiles)
-                        if aot is not None
-                        else self._compute_chunk(
-                            tiles, atiles, ph, pw, hn, wn,
-                            self.tta_mode, c == 4,
-                        )
-                    )
+                    # a persistent-cache round-trip). Read the per-image
+                    # snapshot, not the live table (docstring above).
+                    prog = aot.get((ph, pw, bsz, self.tta_mode, c == 4))
+                    if prog is not None:
+                        tiles_u8 = prog(tiles, atiles)
+                    else:
+                        # jit fallback: the FIRST call per shape traces
+                        # under the module tail flags — hold the trace
+                        # lock then (a staged bg thread may have them
+                        # flipped); later calls hit the jit cache and
+                        # skip the lock
+                        jkey = (ph, pw, bsz, self.tta_mode, c == 4)
+                        traced = getattr(self, "_jit_traced", None)
+                        if traced is None:
+                            traced = self._jit_traced = set()
+                        if jkey in traced:
+                            tiles_u8 = self._compute_chunk(
+                                tiles, atiles, ph, pw, hn, wn,
+                                self.tta_mode, c == 4,
+                            )
+                        else:
+                            with _TRACE_FLAG_LOCK:
+                                tiles_u8 = self._compute_chunk(
+                                    tiles, atiles, ph, pw, hn, wn,
+                                    self.tta_mode, c == 4,
+                                )
+                            traced.add(jkey)
                     out_buf = self._scatter_chunk(
                         out_buf, tiles_u8, imgs[k], xs[k], ys[k]
                     )
@@ -1152,29 +1198,39 @@ class RealSR:
         total, done = len(plan.tiles), 0
         prev = None  # (Y0, Y1, device buf): fetch overlaps next band
         maybe_start_profiler()
-        for r0 in range(0, plan.ytiles, btr):
-            r1 = min(r0 + btr, plan.ytiles)
-            Y0, Y1 = r0 * tilesize, min(r1 * tilesize, h)
-            band_ext = image[rows_idx[Y0 : Y1 + 2 * pad]]
-            with tracer.span("h2d+prep(band)"):
-                dev = jax.device_put(band_ext[None], where)
-                padded, alpha = self._prep_band(dev, pad)
-            buf = self._alloc_out((1, (Y1 - Y0) * s, w * s, c))
-            buckets: dict = {}
-            for yi in range(r0, r1):
-                for t in by_row[yi]:
-                    buckets.setdefault(t.padded_shape(pad), []).append(
-                        (0, t.x0, t.y0 - Y0)
-                    )
-            buf, done = self._dispatch_buckets(
-                padded, alpha, buf, buckets, tilesize, c,
-                progress_cb, done, total,
-            )
-            buf = self._finish_out(buf)
-            if prev is not None:
-                p0, p1, pbuf = prev
-                out[p0 * s : p1 * s] = self.fetch(pbuf)[0]
-            prev = (Y0, Y1, buf)
+        # ONE snapshot for the whole image: every band of this output uses
+        # the same AOT executables even if a staged hot-swap lands mid-run
+        aot = self._snapshot_aot()
+        try:
+            for r0 in range(0, plan.ytiles, btr):
+                r1 = min(r0 + btr, plan.ytiles)
+                Y0, Y1 = r0 * tilesize, min(r1 * tilesize, h)
+                band_ext = image[rows_idx[Y0 : Y1 + 2 * pad]]
+                with tracer.span("h2d+prep(band)"):
+                    dev = jax.device_put(band_ext[None], where)
+                    padded, alpha = self._prep_band(dev, pad)
+                buf = self._alloc_out((1, (Y1 - Y0) * s, w * s, c))
+                buckets: dict = {}
+                for yi in range(r0, r1):
+                    for t in by_row[yi]:
+                        buckets.setdefault(t.padded_shape(pad), []).append(
+                            (0, t.x0, t.y0 - Y0)
+                        )
+                buf, done = self._dispatch_buckets(
+                    padded, alpha, buf, buckets, tilesize, c,
+                    progress_cb, done, total, aot=aot,
+                )
+                buf = self._finish_out(buf)
+                if prev is not None:
+                    p0, p1, pbuf = prev
+                    out[p0 * s : p1 * s] = self.fetch(pbuf)[0]
+                prev = (Y0, Y1, buf)
+        finally:
+            # a banded run's first dispatch unblocks background compiles
+            # too (ADVICE r4: only the stack path set this, so a
+            # banded-first process stalled bg compiles for the full wait
+            # timeout)
+            self._first_dispatch_done.set()
         p0, p1, pbuf = prev
         out[p0 * s : p1 * s] = self.fetch(pbuf)[0]
         return out

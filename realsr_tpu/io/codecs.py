@@ -69,6 +69,16 @@ def encode_image(path: str, image: np.ndarray, fmt: Optional[str] = None) -> boo
     nat = _native()
     if nat is not None and nat.encode(path, image, ext):
         return True
+    if ext == "png":
+        # strip-parallel SUB/RLE encoder (io.pngz): measured 9.4x the
+        # reference's stb encode at 13% smaller files, and it scales the
+        # encode of ONE image across cores — PIL (serial zlib level 6)
+        # would bind the save stage an order of magnitude below the
+        # device rate (BASELINE.md round-5 save-stage table)
+        from realsr_tpu.io.pngz import encode_png
+
+        if encode_png(path, image):
+            return True
     try:
         from PIL import Image
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 from typing import Any, Dict
 
 import jax
@@ -82,6 +83,9 @@ PAIRED_CARRY = False
 # Mosaic compile (tools/resident_ab.py, BASELINE.md round-4) —
 # REALSR_TPU_RESIDENT_TRUNK=0 opts out.
 RESIDENT_TRUNK = False
+
+# once-per-process guard for the RESIDENT_BLK override warning below
+_WARNED_RESIDENT_BLK: list = []
 
 # In mixed mode, optionally carry the TAIL's activations (upsampler at
 # 2x/4x resolution) at the operand dtype instead of f32. Measured on v5e
@@ -445,6 +449,21 @@ def _forward_pallas(params, x, spec, storage_dtype, op_dtype=None):
         # compile, which is exactly what a sweep wants to map the edge.
         _raw = os.environ.get("REALSR_TPU_RESIDENT_BLK", "")
         if _raw.isdigit() and int(_raw) > 0:
+            if blk_r and not _WARNED_RESIDENT_BLK:
+                # production risk (ADVICE r4): this trace-time override
+                # bypasses plan_rows_resident's VMEM budget — a value left
+                # exported from a sweep can force an over-budget plan whose
+                # failure mode is a Mosaic compile abort of the DEFAULT
+                # path, and already-traced shapes ignore later env changes
+                _WARNED_RESIDENT_BLK.append(True)
+                print(
+                    f"realsr-tpu: REALSR_TPU_RESIDENT_BLK={_raw} overrides "
+                    f"the VMEM-budgeted analytic plan (BLK {blk_r}); an "
+                    "over-budget value aborts the default path at Mosaic "
+                    "compile — unset it outside sweeps "
+                    "(tools/resident_sweep.py)",
+                    file=sys.stderr,
+                )
             blk_r, nblk_r = RK.plan_rows(H, target_blk=int(_raw), wb=WB)
         if blk_r:
             n_rdb = spec.num_rrdb * spec.num_rdb_per_rrdb
