@@ -81,6 +81,11 @@ class EngineConfig:
 
 FAST_START_TILE = 64  # padded side 84: Mosaic-compiles in ~9 s (BASELINE.md)
 
+# images an engine must have served before the staged packed-tail compile
+# is allowed to start (REALSR_TPU_PACKED_DEFER overrides; 0 = immediate).
+# Rationale at engine.__init__._packed_go.
+PACKED_DEFER_IMAGES = 16
+
 # Serializes trace-time module-flag flips (models.rrdbnet PACKED_TAIL et
 # al.) across background compile threads: tracing under flipped flags is
 # seconds and holds this lock; the native compile runs outside it.
@@ -197,6 +202,20 @@ class RealSR:
         # compile completes (or a timeout, e.g. a load()+precompile()-only
         # process that never dispatches)
         self._first_dispatch_done = threading.Event()
+        # the packed-tail stage of a staged background compile waits for
+        # this: set once the engine has served PACKED_DEFER_IMAGES images,
+        # i.e. the process has proven long-lived enough for the ~8-minute
+        # server-side Mosaic compile to amortize its +~3% e2e. Measured
+        # round 5 (BASELINE.md round-5 e2e section): on a 10-image
+        # directory job the packed compile runs the ENTIRE job and its
+        # server CPU starves chunk execution ~13x — a pure loss for batch
+        # runs, which exit before it could ever pay.
+        self._images_served = 0
+        self._packed_go = threading.Event()
+        # True when the packed-tail kernel applies to this model but only
+        # as a background/precompile upgrade (round 5): foreground traces
+        # stay interleaved-tail. Set by load().
+        self._packed_upgrade = False
         self.bundle: Optional[ModelBundle] = None
         self._cpu_sibling: Optional["RealSR"] = None  # process_cpu's engine
         self.scale = 4
@@ -289,16 +308,26 @@ class RealSR:
             op_dtype=op_dtype,
         )
         if variant == "pallas" and not os.environ.get("REALSR_TPU_PACKED_TAIL"):
-            # Packed-phase tail kernel mode 2 is the pallas default for
-            # production-shaped models since round 4: measured 1.169x
-            # standalone tail / ~+3% e2e (tools/packed_tail_ab.py at
-            # stage-sized chunks, BASELINE.md round-4). Its minutes-scale
-            # Mosaic compile is absorbed by fast start (first images run
-            # the seconds-to-compile small-tile program) and by the
-            # persistent cache on warm hosts. Env value 0 opts out; other
-            # nf/out_ch shapes keep the interleaved tail (the kernel is
-            # fixed at nf=64/out=3 and its einsum fallback is a measured
-            # loss), set explicitly so a prior engine's default can't leak.
+            # Packed-phase tail kernel mode 2 stays the pallas answer for
+            # production-shaped models (measured 1.169x standalone tail /
+            # ~+3% e2e, tools/packed_tail_ab.py, BASELINE.md round-4) —
+            # but since round 5 it is a BACKGROUND UPGRADE, never a
+            # foreground trace: every foreground program compiles with the
+            # interleaved tail (~52 s cold with the resident trunk vs
+            # ~470 s packed — BASELINE.md round-4), and the staged
+            # fast-start threads compile the packed executable after the
+            # deferral threshold and hot-swap it at an image boundary.
+            # Consequences: explicit -t runs cold-start 9x faster AND stay
+            # bit-stable for the whole run (no upgrade is spawned for
+            # them); short directory jobs never pay the minutes-scale
+            # server-side compile (round-5 e2e measurement: it ran an
+            # entire 10-image job and contended with every chunk). The
+            # pinned escape hatch for packed-in-the-foreground is
+            # REALSR_TPU_PACKED_TAIL=3 (serving processes, bench
+            # protocol). Other nf/out_ch shapes have no packed kernel
+            # (fixed at nf=64/out=3; the einsum fallback is a measured
+            # loss). Module flags are set explicitly OFF so a prior
+            # engine's env-forced state can't leak into foreground traces.
             from realsr_tpu.models import rrdbnet as _R
 
             ok = (
@@ -306,8 +335,14 @@ class RealSR:
                 and self.bundle.spec.nf == 64
                 and self.bundle.spec.out_ch == 3
             )
-            _R.PACKED_TAIL = bool(ok)
-            _R.PACKED_TAIL_KERNEL = 2 if ok else 0
+            self._packed_upgrade = bool(ok)
+            _R.PACKED_TAIL = False
+            _R.PACKED_TAIL_KERNEL = 0
+        else:
+            # env-forced mode (foreground packed / fully off): the staged
+            # threads compile exactly the foreground formulation, no
+            # upgrade stage
+            self._packed_upgrade = False
         if variant == "pallas":
             # VMEM-resident whole-trunk kernel is the pallas default since
             # round 4: the chain state never round-trips HBM, measured
@@ -666,18 +701,18 @@ class RealSR:
 
         from realsr_tpu.models import rrdbnet as _R
 
-        # STAGED fast start: when the production program would embed the
-        # packed-tail Pallas kernel (its Mosaic compile alone is ~7 min,
-        # BASELINE.md round-4), first compile the SAME program with the
-        # tail interleaved (~1 min with the resident trunk) and serve
-        # production-tile throughput on it; the packed-tail executable
-        # hot-swaps in when it lands (+~3% e2e). Tail formulation, like
-        # the fast-start tile switch, changes pixels only within the
+        # STAGED fast start: the production program compiles FIRST with
+        # the tail interleaved (~1 min with the resident trunk) and
+        # serves production-tile throughput; the packed-tail executable
+        # (whose Mosaic compile alone is ~7 min, BASELINE.md round-4)
+        # compiles after the long-lived deferral and hot-swaps in at an
+        # image boundary (+~3% e2e). Tail formulation, like the
+        # fast-start tile switch, changes pixels only within the
         # documented cross-program noise class (BASELINE.md round-4
-        # deployment note); pass an explicit -t for bit-reproducibility.
+        # deployment note); pass an explicit -t for bit-reproducibility
+        # (explicit-tile runs never spawn these threads).
         staged = bool(
-            _R.PACKED_TAIL
-            and _R.PACKED_TAIL_KERNEL
+            (self._packed_upgrade or (_R.PACKED_TAIL and _R.PACKED_TAIL_KERNEL))
             and min(ph, pw) >= _R.PACKED_TAIL_MIN_SIDE
         )
 
@@ -689,6 +724,11 @@ class RealSR:
                 old = (_R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL)
                 if not packed_tail:
                     _R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL = False, 0
+                elif self._packed_upgrade and staged:
+                    # round 5: ambient flags stay OFF (foreground traces
+                    # are interleaved); the packed formulation exists
+                    # only in this upgrade compile
+                    _R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL = True, 2
                 try:
                     return self._compute_chunk.lower(
                         tiles, atiles, ph, pw, hn, wn, self.tta_mode,
@@ -712,6 +752,12 @@ class RealSR:
                         "the packed-tail compile",
                         file=sys.stderr,
                     )
+                # the production-grade interleaved program is serving;
+                # hold the ~8-minute packed-tail compile until the
+                # process proves long-lived (counter rationale at
+                # __init__._packed_go) — a batch job that exits first
+                # never pays the compile's server-CPU contention
+                self._packed_go.wait()
             try:
                 comp = lower_program(True).compile()
                 with self._bg_lock:
@@ -772,11 +818,24 @@ class RealSR:
             # programs the real request will run, not a full-image program
             # set it never touches.
             return self._precompile_banded(w, h, channels)
+        tilesize = self._pick_tilesize(w, h, n_img)
+        lows = self._lower_image_programs(
+            w, h, channels, n_img, tilesize, serving=True
+        )
+        return self._compile_all(lows)
+
+    def _lower_image_programs(
+        self, w, h, channels, n_img, tilesize, serving
+    ) -> list:
+        """Lower the full program set one (w, h, channels, n_img) dispatch
+        at ``tilesize`` needs: prep + per-bucket extract/compute/scatter.
+        ``serving``: compile the packed-tail upgrade formulation directly
+        (precompile's explicit warm-up) vs the foreground interleaved one
+        (_warm_first_dispatch must match what the dispatch loop runs)."""
         S = jax.ShapeDtypeStruct
         s, pad = self.scale, self.prepadding
         img = S((n_img, h, w, channels), jnp.uint8)
         lows = [self._prep.lower(img, pad)]
-        tilesize = self._pick_tilesize(w, h, n_img)
         plan = plan_tiles(w, h, tilesize, pad)
         padded = S((n_img, h + 2 * pad, w + 2 * pad, 3), self.storage_dtype)
         alpha = S((n_img, h, w, 1 if channels == 4 else 0), jnp.float32)
@@ -789,20 +848,63 @@ class RealSR:
                 continue
             seen.add(key)
             lows.extend(self._lower_chunk_programs(
-                padded, alpha, out_buf, bsz, ph, pw, channels
+                padded, alpha, out_buf, bsz, ph, pw, channels,
+                serving=serving,
             ))
-        return self._compile_all(lows)
+        return lows
+
+    def _warm_first_dispatch(self, w, h, n_img, c, tilesize) -> None:
+        """Concurrently compile every program the upcoming dispatch needs
+        (VERDICT r4 weak #3: the first image paid the prep / extract /
+        compute / scatter compiles SERIALLY as each jit was first called;
+        XLA compilation releases the GIL, so a 4-thread pool pays ~the
+        longest compile instead of the sum). Compute programs land in the
+        AOT table (the dispatch loop calls them directly); prep / extract
+        / scatter warm the jit path through the in-process persistent
+        compile cache. Runs once per shape set; compute entries already
+        AOT-compiled (fast-start background threads) are skipped."""
+        key = (w, h, n_img, c, tilesize, self.tta_mode)
+        warmed = getattr(self, "_warmed_shapes", None)
+        if warmed is None:
+            warmed = self._warmed_shapes = set()
+        if key in warmed:
+            return
+        warmed.add(key)
+        try:
+            lows = self._lower_image_programs(
+                w, h, c, n_img, tilesize, serving=False
+            )
+            with self._bg_lock:
+                have = set(self._aot_compute)
+            lows = [
+                l for l in lows
+                if not (isinstance(l, tuple) and l[0] in have)
+            ]
+            self._compile_all(lows)
+        except Exception as exc:  # pragma: no cover - exercised via tests
+            # warming is purely a latency optimization: on failure fall
+            # back to the dispatch loop's serial jit compiles, which will
+            # surface any REAL compile error with proper handling (and set
+            # _first_dispatch_done in its finally)
+            print(
+                f"realsr-tpu: first-dispatch warm-up failed ({exc!r}); "
+                "falling back to serial compiles",
+                file=sys.stderr,
+            )
 
     def _lower_chunk_programs(
         self, padded, alpha, out_buf, bsz, ph, pw, channels,
-        lower_compute: bool = True,
+        lower_compute: bool = True, serving: bool = True,
     ) -> list:
         """Lower the extract/compute/scatter triple for one (bucket shape,
         batch) against the given full-image ShapeDtypeStructs.
 
         ``lower_compute=False`` skips the (expensive, image-size- AND
         band-height-independent) compute program — callers that iterate
-        several image/band shapes over the same bucket pass it once."""
+        several image/band shapes over the same bucket pass it once.
+        ``serving=False`` compiles the foreground (interleaved-tail)
+        formulation instead of the packed upgrade (_warm_first_dispatch
+        must produce exactly what the dispatch loop would jit)."""
         S = jax.ShapeDtypeStruct
         s, pad = self.scale, self.prepadding
         hn, wn = ph - 2 * pad, pw - 2 * pad
@@ -835,11 +937,30 @@ class RealSR:
             # (models.rrdbnet PACKED_TAIL et al.) that staged fast-start
             # threads flip under _TRACE_FLAG_LOCK — hold it here too, or a
             # precompile() racing a staged stage could bake the wrong tail
-            # formulation into a cached production executable (ADVICE r4)
+            # formulation into a cached production executable (ADVICE r4).
+            # precompile() is the explicit serving warm-up, so it compiles
+            # the PACKED formulation directly where it applies (round 5:
+            # ambient flags stay interleaved for foreground traces; a
+            # warmed-up serving process should not wait out the
+            # background-upgrade deferral).
+            from realsr_tpu.models import rrdbnet as _R
+
+            want_packed = (
+                serving
+                and self._packed_upgrade
+                and min(ph, pw) >= _R.PACKED_TAIL_MIN_SIDE
+            )
             with _TRACE_FLAG_LOCK:
-                low = self._compute_chunk.lower(
-                    tiles, atiles, ph, pw, hn, wn, self.tta_mode, with_alpha
-                )
+                old = (_R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL)
+                if want_packed:
+                    _R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL = True, 2
+                try:
+                    low = self._compute_chunk.lower(
+                        tiles, atiles, ph, pw, hn, wn, self.tta_mode,
+                        with_alpha,
+                    )
+                finally:
+                    _R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL = old
             lows.append(((ph, pw, bsz, self.tta_mode, with_alpha), low))
         return lows
 
@@ -937,6 +1058,10 @@ class RealSR:
         tilesize = self._pick_tilesize(w, h, n_img)
         tilesize = self._maybe_fast_start(tilesize, w, h, n_img, c)
         self.last_tilesize = tilesize
+        # first time this shape set dispatches: compile its programs
+        # CONCURRENTLY instead of paying each jit's compile serially in
+        # the loop below (VERDICT r4 weak #3)
+        self._warm_first_dispatch(w, h, n_img, c, tilesize)
         plan = plan_tiles(w, h, tilesize, pad)
         where = replicated(self.mesh) if self.mesh is not None else self.device
         with tracer.span("h2d+prep"):
@@ -968,7 +1093,19 @@ class RealSR:
             # dispatch can't stall the background threads for their full
             # wait timeout.
             self._first_dispatch_done.set()
+        self._count_served(n_img)
         return self._finish_out(out_buf)
+
+    def _count_served(self, n: int) -> None:
+        """Track served images; past the deferral threshold, release the
+        staged packed-tail compiles (rationale at __init__._packed_go)."""
+        env = os.environ.get("REALSR_TPU_PACKED_DEFER", "")
+        threshold = int(env) if env.isdigit() else PACKED_DEFER_IMAGES
+        with self._bg_lock:
+            self._images_served += n
+            release = self._images_served >= threshold
+        if release:
+            self._packed_go.set()
 
     def _snapshot_aot(self) -> dict:
         """Per-IMAGE snapshot of the AOT program table. The staged
@@ -1231,6 +1368,7 @@ class RealSR:
             # banded-first process stalled bg compiles for the full wait
             # timeout)
             self._first_dispatch_done.set()
+        self._count_served(1)
         p0, p1, pbuf = prev
         out[p0 * s : p1 * s] = self.fetch(pbuf)[0]
         return out

@@ -261,9 +261,14 @@ def test_compute_program_reused_across_image_sizes(tiny_model_dir, rng):
     e.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
     for side in (48, 64):  # different sizes; same bucket (36,36), batch 8
         e.process(rng.integers(0, 256, (side, side, 3), dtype=np.uint8))
-    # the interior bucket's compute program is shared; extract/scatter are
+    # the interior bucket's compute program is shared (round 5: the warm
+    # path AOT-compiles it into the dispatch table, so it lives there
+    # with ONE key rather than in the jit cache); extract/scatter are
     # per-image-size
-    assert e._compute_chunk._cache_size() == 1, e._compute_chunk._cache_size()
+    with e._bg_lock:
+        compute_keys = set(e._aot_compute)
+    assert len(compute_keys) == 1, compute_keys
+    assert e._compute_chunk._cache_size() == 0  # dispatch never jits it
     assert e._extract_chunk._cache_size() == 2
     assert e._scatter_chunk._cache_size() == 2
 
@@ -621,6 +626,7 @@ def test_fast_start_staged_tail_compile(tiny_model_dir, capsys):
         return False
 
     eng._first_dispatch_done.set()  # tests spawn without dispatching
+    eng._packed_go.set()  # and past the packed-tail deferral threshold
     dims = (148, 148, 128, 128, 2)  # min side >= PACKED_TAIL_MIN_SIDE
     # packed stage fails -> interleaved program stays
     eng._compute_chunk = FakeJit(fail_packed=True)
@@ -741,3 +747,158 @@ def test_failed_first_dispatch_still_sets_event(tiny_model_dir, rng):
     with pytest.raises(RuntimeError, match="injected"):
         eng.process(img)
     assert eng._first_dispatch_done.is_set()
+
+
+def test_packed_tail_compile_deferred_until_long_lived(tiny_model_dir):
+    """The staged packed-tail compile must NOT start until the engine has
+    served PACKED_DEFER_IMAGES images (round 5: on a 10-image directory
+    job the ~8-minute server-side Mosaic compile ran the entire job and
+    starved chunk execution ~13x — batch jobs exit before it could pay;
+    BASELINE.md round-5 e2e section)."""
+    import time
+
+    import realsr_tpu.engine as E
+    from realsr_tpu.models import rrdbnet as R
+
+    eng = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
+    eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = True, 2  # autouse fixture restores
+
+    events = []
+
+    class FakeJit:
+        def lower(self, *a, **k):
+            packed = R.PACKED_TAIL
+            events.append(("lower", packed))
+
+            class L:
+                def compile(_):
+                    return ("packed" if packed else "interleaved",)
+
+            return L()
+
+    def wait_for(key, want, tries=200):
+        for _ in range(tries):
+            with eng._bg_lock:
+                if eng._aot_compute.get(key) == want:
+                    return True
+            time.sleep(0.02)
+        return False
+
+    eng._first_dispatch_done.set()
+    eng._compute_chunk = FakeJit()
+    eng._spawn_bg_compile(("k1",), (148, 148, 128, 128, 2), 3)
+    # interleaved stage lands; packed stage must be HELD
+    assert wait_for(("k1",), ("interleaved",))
+    time.sleep(0.2)
+    with eng._bg_lock:
+        assert eng._aot_compute[("k1",)] == ("interleaved",)
+    # serving fewer images than the threshold keeps it held
+    eng._count_served(E.PACKED_DEFER_IMAGES - 1)
+    time.sleep(0.2)
+    with eng._bg_lock:
+        assert eng._aot_compute[("k1",)] == ("interleaved",)
+    # crossing the threshold releases the packed stage
+    eng._count_served(1)
+    assert wait_for(("k1",), ("packed",))
+    # env override 0 = immediate
+    eng2 = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
+    eng2.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    import os as _os
+
+    _os.environ["REALSR_TPU_PACKED_DEFER"] = "0"
+    try:
+        eng2._count_served(0)
+        assert eng2._packed_go.is_set()
+    finally:
+        del _os.environ["REALSR_TPU_PACKED_DEFER"]
+
+
+def test_packed_upgrade_mode_traces(tiny_model_dir):
+    """Round 5: with the shipped default (env unset), the packed tail is
+    a background UPGRADE — ambient module flags stay OFF (foreground
+    traces are interleaved) and the staged thread's packed stage flips
+    them on only for its own lower."""
+    import time
+
+    from realsr_tpu.models import rrdbnet as R
+
+    eng = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
+    eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    # tiny model (nf=16) is not packed-shaped; simulate a production
+    # model's load() outcome
+    eng._packed_upgrade = True
+    assert not R.PACKED_TAIL and not R.PACKED_TAIL_KERNEL
+
+    events = []
+
+    class FakeJit:
+        def lower(self, *a, **k):
+            events.append(("lower", R.PACKED_TAIL, R.PACKED_TAIL_KERNEL))
+
+            class L:
+                def compile(_):
+                    return ("packed",) if events[-1][1] else ("interleaved",)
+
+            return L()
+
+    eng._first_dispatch_done.set()
+    eng._packed_go.set()
+    eng._compute_chunk = FakeJit()
+    eng._spawn_bg_compile(("k1",), (148, 148, 128, 128, 2), 3)
+    for _ in range(200):
+        with eng._bg_lock:
+            if eng._aot_compute.get(("k1",)) == ("packed",):
+                break
+        time.sleep(0.02)
+    # interleaved stage traced with flags off, packed stage with (True, 2)
+    assert events == [("lower", False, 0), ("lower", True, 2)]
+    # ambient flags restored OFF — later foreground traces stay interleaved
+    assert not R.PACKED_TAIL and not R.PACKED_TAIL_KERNEL
+    # below the min-side gate nothing flips: single interleaved compile
+    events.clear()
+    eng._compute_chunk = FakeJit()
+    eng._spawn_bg_compile(("k2",), (84, 84, 64, 64, 2), 3)
+    for _ in range(200):
+        with eng._bg_lock:
+            if ("k2",) in eng._aot_compute:
+                break
+        time.sleep(0.02)
+    assert events == [("lower", False, 0)]
+
+
+def test_precompile_lowers_packed_directly(tiny_model_dir):
+    """precompile() is the explicit serving warm-up: it compiles the
+    packed formulation directly (no deferral) where the upgrade applies,
+    interleaved below the min-side gate."""
+    import jax as _jax
+
+    from realsr_tpu.models import rrdbnet as R
+
+    eng = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
+    eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    eng._packed_upgrade = True
+
+    events = []
+
+    class FakeJit:
+        def lower(self, *a, **k):
+            events.append((R.PACKED_TAIL, R.PACKED_TAIL_KERNEL))
+
+            class L:
+                def compile(_):
+                    return ("prog",)
+
+            return L()
+
+    eng._compute_chunk = FakeJit()
+    S = _jax.ShapeDtypeStruct
+    import numpy as _np
+
+    padded = S((1, 200, 200, 3), eng.storage_dtype)
+    alpha = S((1, 180, 180, 0), _np.float32)
+    out = S((1, 720, 720, 3), _np.uint8)
+    eng._lower_chunk_programs(padded, alpha, out, 2, 148, 148, 3)
+    eng._lower_chunk_programs(padded, alpha, out, 2, 84, 84, 3)
+    assert events == [(True, 2), (False, 0)]
+    assert not R.PACKED_TAIL and not R.PACKED_TAIL_KERNEL

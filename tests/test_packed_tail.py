@@ -341,9 +341,10 @@ def test_min_side_gate_uses_interleaved_below_threshold(monkeypatch):
 def test_engine_default_enables_packed_tail_for_production_shape(
     tmp_path, monkeypatch
 ):
-    """load() on the pallas path turns kernel mode 2 on for nf=64/out=3
-    models (round-4 default), leaves it off for other shapes, and respects
-    an explicit env 0."""
+    """load() on the pallas path marks nf=64/out=3 models for the packed
+    BACKGROUND UPGRADE (round 5: foreground traces stay interleaved-tail —
+    ambient module flags OFF), leaves other shapes unmarked, respects an
+    explicit env 0, and env 3 pins the old foreground-packed behavior."""
     from realsr_tpu.engine import EngineConfig, RealSR
     from realsr_tpu.ncnn.synth import make_model_dir
 
@@ -354,19 +355,31 @@ def test_engine_default_enables_packed_tail_for_production_shape(
     make_model_dir(str(small), R.RRDBNetSpec(num_rrdb=1, nf=16, gc=8), seed=0)
 
     try:
-        # variant forced to pallas: load() must set the flags (jits are
-        # built lazily, so no Mosaic execution happens on CPU here)
+        # variant forced to pallas: load() must mark the upgrade while
+        # leaving the ambient trace flags OFF (jits are built lazily, so
+        # no Mosaic execution happens on CPU here)
         e = RealSR(gpuid=-1, config=EngineConfig(variant="pallas"))
         e.load(str(prod) + "/x4.param", str(prod) + "/x4.bin")
-        assert R.PACKED_TAIL and R.PACKED_TAIL_KERNEL == 2
+        assert e._packed_upgrade
+        assert not R.PACKED_TAIL and R.PACKED_TAIL_KERNEL == 0
 
         e2 = RealSR(gpuid=-1, config=EngineConfig(variant="pallas"))
         e2.load(str(small) + "/x4.param", str(small) + "/x4.bin")
+        assert not e2._packed_upgrade
         assert not R.PACKED_TAIL and R.PACKED_TAIL_KERNEL == 0
 
         monkeypatch.setenv("REALSR_TPU_PACKED_TAIL", "0")
         e3 = RealSR(gpuid=-1, config=EngineConfig(variant="pallas"))
         e3.load(str(prod) + "/x4.param", str(prod) + "/x4.bin")
+        assert not e3._packed_upgrade
         assert not R.PACKED_TAIL
+
+        # env 3 = the pinned foreground-packed escape hatch (bench
+        # protocol / serving processes): module flags ON, no upgrade stage
+        monkeypatch.setenv("REALSR_TPU_PACKED_TAIL", "3")
+        e4 = RealSR(gpuid=-1, config=EngineConfig(variant="pallas"))
+        e4.load(str(prod) + "/x4.param", str(prod) + "/x4.bin")
+        assert not e4._packed_upgrade
+        assert R.PACKED_TAIL and R.PACKED_TAIL_KERNEL == 2
     finally:
         R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = False, 0
