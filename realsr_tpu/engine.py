@@ -794,7 +794,10 @@ class RealSR:
         bsz = -(-bsz // ndev) * ndev
         return bsz, -(-n // bsz)
 
-    def precompile(self, w: int, h: int, channels: int = 3, n_img: int = 1) -> int:
+    def precompile(
+        self, w: int, h: int, channels: int = 3, n_img: int = 1,
+        fast_start_ramp: bool = False,
+    ) -> int:
         """AOT-compile every program a (w, h, channels) image will need.
 
         For serving deployments: call once after :meth:`load` so the first
@@ -808,6 +811,14 @@ class RealSR:
         GIL-bound Python, but XLA/Mosaic compilation is native and releases
         the GIL), so a multi-bucket shape warms in ~one compile's wall time
         instead of the sum.
+
+        ``fast_start_ramp``: additionally compile the FAST_START_TILE
+        foreground program set a default-config (fast_start on) process
+        would serve its first images on. An in-process precompile() fills
+        the AOT table so the ramp never runs — but a SEED CACHE built for
+        other processes (tools/seed_cache.py) must cover the ramp programs
+        too, or a seeded default-path CLI still pays the tile-64 compile
+        on its first image.
         """
         if self.bundle is None:
             raise RuntimeError("call load() first")
@@ -822,6 +833,11 @@ class RealSR:
         lows = self._lower_image_programs(
             w, h, channels, n_img, tilesize, serving=True
         )
+        if fast_start_ramp and self._fast_start_enabled() \
+                and tilesize > FAST_START_TILE:
+            lows.extend(self._lower_image_programs(
+                w, h, channels, n_img, FAST_START_TILE, serving=False
+            ))
         return self._compile_all(lows)
 
     def _lower_image_programs(
@@ -1497,5 +1513,13 @@ def _enable_compilation_cache() -> None:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # By default jax points the XLA:GPU kernel/autotune sub-caches
+        # INSIDE the cache dir and those absolute paths are hashed into
+        # every cache key — so entries only hit if the cache base never
+        # moves, and a seed tarball built in a temp dir (tools/
+        # seed_cache.py) could never hit at runtime. Disable the (GPU-
+        # only; we target TPU/CPU) sub-caches to make keys location-
+        # independent and seeds relocatable.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "")
     except Exception:
         pass

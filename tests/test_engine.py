@@ -648,6 +648,43 @@ def test_fast_start_staged_tail_compile(tiny_model_dir, capsys):
     assert events == [("lower", True)]
 
 
+def test_precompile_fast_start_ramp_wiring(tiny_model_dir, monkeypatch):
+    """precompile(fast_start_ramp=True) additionally lowers the
+    FAST_START_TILE foreground (serving=False) program set — the programs
+    a seeded default-path process serves its first images on
+    (tools/seed_cache.py). Without the flag, and whenever the engine
+    would not ramp, only the production set is lowered."""
+    import realsr_tpu.engine as E
+
+    eng = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
+    eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    eng.variant = "pallas"  # simulate the accelerator path
+    eng.tilesize = 0
+
+    calls = []
+
+    def fake_lower(w, h, c, n_img, tilesize, serving):
+        calls.append((tilesize, serving))
+        return []
+
+    monkeypatch.setattr(eng, "_lower_image_programs", fake_lower)
+    monkeypatch.setattr(eng, "_pick_tilesize", lambda *a, **k: 256)
+
+    eng.precompile(600, 600, fast_start_ramp=True)
+    assert (256, True) in calls
+    assert (E.FAST_START_TILE, False) in calls
+
+    calls.clear()
+    eng.precompile(600, 600)  # default: production set only
+    assert calls == [(256, True)]
+
+    # a non-ramping engine (dense variant) never lowers the ramp set
+    calls.clear()
+    eng.variant = "dense"
+    eng.precompile(600, 600, fast_start_ramp=True)
+    assert calls == [(256, True)]
+
+
 def test_fast_start_aot_dispatch_path(tiny_model_dir, rng):
     """A pre-populated AOT executable is used by the dispatch loop and
     produces the same pixels as the jit path (CPU dense variant — the
