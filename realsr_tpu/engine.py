@@ -835,8 +835,17 @@ class RealSR:
         )
         if fast_start_ramp and self._fast_start_enabled() \
                 and tilesize > FAST_START_TILE:
+            # the full default-path sequence is THREE program generations:
+            # tile-64 interleaved (ramp) -> production-tile interleaved
+            # (post-switch foreground, what the staged bg thread compiles
+            # first) -> production-tile packed (the serving=True set
+            # above). Seed all of them or a seeded process still pays a
+            # foreground-class compile at the switch.
             lows.extend(self._lower_image_programs(
                 w, h, channels, n_img, FAST_START_TILE, serving=False
+            ))
+            lows.extend(self._lower_image_programs(
+                w, h, channels, n_img, tilesize, serving=False
             ))
         return self._compile_all(lows)
 

@@ -673,6 +673,9 @@ def test_precompile_fast_start_ramp_wiring(tiny_model_dir, monkeypatch):
     eng.precompile(600, 600, fast_start_ramp=True)
     assert (256, True) in calls
     assert (E.FAST_START_TILE, False) in calls
+    # the post-switch foreground generation (production tile, interleaved)
+    # must be seeded too, or a seeded process pays a compile at the switch
+    assert (256, False) in calls
 
     calls.clear()
     eng.precompile(600, 600)  # default: production set only

@@ -10,7 +10,11 @@ shape) while the production-tile programs compile in background threads;
 the tool then polls until the engine switches to the production tile and
 reports that latency too.
 
-Usage: python tools/coldstart_measure.py [--no-fast] [size]
+``--seed TARBALL`` installs a tools/seed_cache.py tarball into the fresh
+cache base before measuring — i.e. the DEPLOYMENT cold start: a new host
+that received the release seed but has never compiled anything.
+
+Usage: python tools/coldstart_measure.py [--no-fast] [--seed TAR] [size]
 """
 
 import os
@@ -31,8 +35,27 @@ import numpy as np  # noqa: E402
 
 def main() -> int:
     fast = "--no-fast" not in sys.argv
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = list(sys.argv[1:])
+    seed = None
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = argv[i + 1]
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     size = int(args[0]) if args else 1024
+
+    if seed:
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "seed_cache.py"),
+             "install", seed, "--cache-base", _tmp],
+            capture_output=True, text=True,
+        )
+        print(r.stdout.strip(), flush=True)
+        if r.returncode != 0:
+            print(r.stderr[-2000:], flush=True)
+            return 1
 
     from realsr_tpu.engine import EngineConfig, RealSR
 
