@@ -412,22 +412,22 @@ class RealSR:
             )
             return padded, alpha
 
-        def tile_color(tiles, ph, pw, hn, wn, tta):
+        def tile_color(params, tiles, ph, pw, hn, wn, tta):
             """[B,ph,pw,3] storage -> u8 [B,hn*s,wn*s,3] (forward + TTA +
             halo crop + reference rounding)."""
             if not tta:
-                out = forward(self._params, tiles)  # f32 [B, ph*s, pw*s, 3]
+                out = forward(params, tiles)  # f32 [B, ph*s, pw*s, 3]
             else:
                 if ph == pw:
                     batch = jnp.concatenate(
                         [d4_transform(tiles, k) for k in range(NUM_TRANSFORMS)]
                     )
-                    groups = list(jnp.split(forward(self._params, batch), NUM_TRANSFORMS))
+                    groups = list(jnp.split(forward(params, batch), NUM_TRANSFORMS))
                 else:
                     b0 = jnp.concatenate([d4_transform(tiles, k) for k in range(4)])
                     b1 = jnp.concatenate([d4_transform(tiles, k) for k in range(4, 8)])
-                    groups = list(jnp.split(forward(self._params, b0), 4)) + list(
-                        jnp.split(forward(self._params, b1), 4)
+                    groups = list(jnp.split(forward(params, b0), 4)) + list(
+                        jnp.split(forward(params, b1), 4)
                     )
                 acc = None
                 for k, g in enumerate(groups):
@@ -484,17 +484,24 @@ class RealSR:
                 atiles = jnp.zeros((tiles.shape[0], 0, 0, 0), jnp.float32)
             return tiles, atiles
 
-        def compute_chunk(tiles, atiles, ph, pw, hn, wn, tta, with_alpha):
+        def compute_chunk(params, tiles, atiles, ph, pw, hn, wn, tta, with_alpha):
             """EXPENSIVE, image-size-INDEPENDENT: forward (+TTA), halo
             crop, reference rounding, alpha bicubic — shapes depend only
-            on (bucket shape, batch)."""
+            on (bucket shape, batch). ``params`` is a runtime ARGUMENT,
+            not a closure constant: the lowered module (and therefore the
+            persistent-cache key and any seed tarball,
+            tools/seed_cache.py) is weight-INDEPENDENT — DF2K and
+            DF2K_JPEG share one executable, and dropping in a real
+            ``x4.bin`` never recompiles (round 5; a closed-over params
+            tree baked 66.8 MB of weight constants into every compute
+            program and keyed the cache on their bytes)."""
             probe = self.sharding_probe
             if probe is not None:
                 jax.debug.inspect_array_sharding(
                     tiles,
                     callback=lambda s, _sh=tiles.shape: probe((_sh, s)),
                 )
-            color = tile_color(tiles, ph, pw, hn, wn, tta)
+            color = tile_color(params, tiles, ph, pw, hn, wn, tta)
             if not with_alpha:
                 return color
             if scale == 1:
@@ -543,7 +550,7 @@ class RealSR:
                 extract_chunk, static_argnums=(5, 6, 7, 8, 9)
             )
             self._compute_chunk = jax.jit(
-                compute_chunk, static_argnums=(2, 3, 4, 5, 6, 7)
+                compute_chunk, static_argnums=(3, 4, 5, 6, 7, 8)
             )
             self._scatter_chunk = jax.jit(scatter_chunk, donate_argnums=(0,))
         else:
@@ -573,8 +580,8 @@ class RealSR:
             )
             self._compute_chunk = jax.jit(
                 compute_chunk,
-                static_argnums=(2, 3, 4, 5, 6, 7),
-                in_shardings=(shd_b, shd_b),
+                static_argnums=(3, 4, 5, 6, 7, 8),
+                in_shardings=(rep, shd_b, shd_b),
                 out_shardings=shd_b,
             )
             # tiles never cross ICI during scatter: each device owns a
@@ -730,9 +737,11 @@ class RealSR:
                     # only in this upgrade compile
                     _R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL = True, 2
                 try:
+                    # self._params is concrete: only its avals/shardings
+                    # enter the lowered module (weight-independent key)
                     return self._compute_chunk.lower(
-                        tiles, atiles, ph, pw, hn, wn, self.tta_mode,
-                        with_alpha,
+                        self._params, tiles, atiles, ph, pw, hn, wn,
+                        self.tta_mode, with_alpha,
                     )
                 finally:
                     _R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL = old
@@ -981,8 +990,8 @@ class RealSR:
                     _R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL = True, 2
                 try:
                     low = self._compute_chunk.lower(
-                        tiles, atiles, ph, pw, hn, wn, self.tta_mode,
-                        with_alpha,
+                        self._params, tiles, atiles, ph, pw, hn, wn,
+                        self.tta_mode, with_alpha,
                     )
                 finally:
                     _R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL = old
@@ -1197,7 +1206,7 @@ class RealSR:
                     # snapshot, not the live table (docstring above).
                     prog = aot.get((ph, pw, bsz, self.tta_mode, c == 4))
                     if prog is not None:
-                        tiles_u8 = prog(tiles, atiles)
+                        tiles_u8 = prog(self._params, tiles, atiles)
                     else:
                         # jit fallback: the FIRST call per shape traces
                         # under the module tail flags — hold the trace
@@ -1210,14 +1219,14 @@ class RealSR:
                             traced = self._jit_traced = set()
                         if jkey in traced:
                             tiles_u8 = self._compute_chunk(
-                                tiles, atiles, ph, pw, hn, wn,
-                                self.tta_mode, c == 4,
+                                self._params, tiles, atiles, ph, pw, hn,
+                                wn, self.tta_mode, c == 4,
                             )
                         else:
                             with _TRACE_FLAG_LOCK:
                                 tiles_u8 = self._compute_chunk(
-                                    tiles, atiles, ph, pw, hn, wn,
-                                    self.tta_mode, c == 4,
+                                    self._params, tiles, atiles, ph, pw,
+                                    hn, wn, self.tta_mode, c == 4,
                                 )
                             traced.add(jkey)
                     out_buf = self._scatter_chunk(

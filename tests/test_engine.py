@@ -710,7 +710,7 @@ def test_fast_start_aot_dispatch_path(tiny_model_dir, rng):
         tiles = S((bsz, ph, pw, 3), eng.storage_dtype)
         atiles = S((bsz, 0, 0, 0), jnp.float32)
         eng._aot_compute[key] = eng._compute_chunk.lower(
-            tiles, atiles, ph, pw, hn, wn, False, False
+            eng._params, tiles, atiles, ph, pw, hn, wn, False, False
         ).compile()
     out = eng.process(img)
     np.testing.assert_array_equal(ref, out)
@@ -734,7 +734,7 @@ def test_hot_swap_never_lands_mid_image(tiny_model_dir, rng):
     key = (36, 36, 1, False, False)  # (ph, pw, bsz=max_batch, tta, alpha)
     calls = []
 
-    def fake_prog(tiles, atiles):
+    def fake_prog(params, tiles, atiles):
         calls.append(1)
         return jnp.full((1, 64, 64, 3), 7, jnp.uint8)
 
@@ -942,3 +942,35 @@ def test_precompile_lowers_packed_directly(tiny_model_dir):
     eng._lower_chunk_programs(padded, alpha, out, 2, 84, 84, 3)
     assert events == [(True, 2), (False, 0)]
     assert not R.PACKED_TAIL and not R.PACKED_TAIL_KERNEL
+
+
+def test_compute_program_is_weight_independent(tiny_model_dir, tmp_path):
+    """The compute program takes params as a runtime ARGUMENT, so its
+    lowered module — and therefore its persistent-cache key and any seed
+    tarball (tools/seed_cache.py) — must not depend on weight VALUES:
+    two engines with different weights lower byte-identical modules
+    (round 5: a closed-over params tree baked the weights in as MLIR
+    constants, so a seed built for one x4.bin missed for every other)."""
+    import jax as _jax
+    import numpy as _np
+
+    from conftest import TINY_SPEC
+    from realsr_tpu.ncnn.synth import make_model_dir
+
+    other = tmp_path / "models-TINY2"
+    make_model_dir(str(other), TINY_SPEC, seed=99)
+
+    texts = []
+    for mdir in (tiny_model_dir, str(other)):
+        eng = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
+        eng.load(mdir + "/x4.param", mdir + "/x4.bin")
+        ph = 64 + 2 * eng.prepadding
+        tiles = _jax.ShapeDtypeStruct((2, ph, ph, 3), eng.storage_dtype)
+        atiles = _jax.ShapeDtypeStruct((2, 0, 0, 0), _np.float32)
+        low = eng._compute_chunk.lower(
+            eng._params, tiles, atiles, ph, ph, 64, 64, False, False
+        )
+        texts.append(low.as_text())
+    assert texts[0] == texts[1]
+    # and the weights really are absent from the module body
+    assert len(texts[0]) < 4_000_000

@@ -66,7 +66,7 @@ def main() -> int:
     atiles = jax.ShapeDtypeStruct((args.batch, 0, 0, 0), jnp.float32)
     t0 = time.perf_counter()
     low = eng._compute_chunk.lower(
-        tiles, atiles, ph, ph, args.tile, args.tile, False, False
+        eng._params, tiles, atiles, ph, ph, args.tile, args.tile, False, False
     )
     comp = low.compile()
     compile_s = time.perf_counter() - t0
@@ -94,13 +94,13 @@ def main() -> int:
             eng.device,
         )
         a = jax.device_put(jnp.zeros((args.batch, 0, 0, 0), jnp.float32), eng.device)
-        out = eng._compute_chunk(x, a, ph, ph, args.tile, args.tile, False, False)
+        out = eng._compute_chunk(eng._params, x, a, ph, ph, args.tile, args.tile, False, False)
         np.asarray(out[0, 0, 0])  # fence (tunnel block_until_ready no-op)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             out = eng._compute_chunk(
-                x, a, ph, ph, args.tile, args.tile, False, False
+                eng._params, x, a, ph, ph, args.tile, args.tile, False, False
             )
             np.asarray(out[0, 0, 0])
             ts.append(time.perf_counter() - t0)

@@ -97,7 +97,7 @@ def main() -> int:
     atiles_s = SD((bsz, 0, 0, 0), np.float32)
     t0 = time.perf_counter()
     low = eng._compute_chunk.lower(
-        tiles_s, atiles_s, ph, pw, hn, wn, False, False
+        eng._params, tiles_s, atiles_s, ph, pw, hn, wn, False, False
     )
     t["compute_lower_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()

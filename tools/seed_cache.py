@@ -18,6 +18,15 @@ carries the BUILD host's fingerprint subdir verbatim, so installing on a
 mismatched host is inert by construction (the engine reads a different
 subdir) — `install` additionally says so out loud.
 
+Weight-independence (round 5): the compute program takes the params tree
+as a runtime ARGUMENT (engine.compute_chunk), so the lowered module — and
+therefore every cache key this tool seeds — depends only on the model
+ARCHITECTURE (shapes/dtypes), not the weight values. One seed built with
+any x4.bin (the committed synth weights included) covers DF2K, DF2K_JPEG,
+and any future imported checkpoint of the same graph; dropping in real
+weights never recompiles (tests/test_engine.py::
+test_compute_program_is_weight_independent).
+
 Usage:
   python tools/seed_cache.py build  out.tar.gz [-m MODELDIR]
          [--sizes 1024x1024,512x512] [--tta] [--alpha] [--gpuid 0]
