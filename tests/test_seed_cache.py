@@ -119,6 +119,52 @@ def test_seeded_process_hits_every_program(seed_tarball, tmp_path):
             prog + " missed the seed:\n" + r.stderr[-3000:])
 
 
+def test_seed_hits_for_different_weights(seed_tarball, tmp_path):
+    """A seed built with ONE x4.bin covers ANY other weights of the same
+    architecture: the compute program takes params as a runtime argument
+    (engine.compute_chunk), so the cache key depends only on shapes and
+    dtypes. Before the round-5 refactor the closed-over params tree baked
+    the weight bytes into the key and this test's run would recompile."""
+    from PIL import Image
+    import numpy as np
+
+    from realsr_tpu.ncnn.synth import make_model_dir
+
+    from conftest import TINY_SPEC
+
+    out, manifest = seed_tarball
+    base = tmp_path / "xwbase"
+    r = _run(["install", out, "--cache-base", str(base)])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # same architecture, different weights than the seed was built with
+    other = tmp_path / "models-DF2K_JPEG"
+    make_model_dir(str(other), TINY_SPEC, seed=4242)
+
+    png = tmp_path / "in.png"
+    rng = np.random.default_rng(5)
+    Image.fromarray(
+        (rng.random((64, 96, 3)) * 255).astype("uint8")
+    ).save(png)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["REALSR_TPU_CACHE"] = str(base)
+    env["JAX_LOG_COMPILES"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "realsr_tpu", "-i", str(png),
+         "-o", str(tmp_path / "out.png"), "-s", "4",
+         "-m", str(other)],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for prog in ("jit_prep", "jit_extract_chunk", "jit_compute_chunk",
+                 "jit_scatter_chunk"):
+        assert f"cache hit for '{prog}'" in r.stderr, (
+            prog + " recompiled for new weights:\n" + r.stderr[-3000:])
+
+
 def test_install_refuses_path_traversal(tmp_path):
     evil = tmp_path / "evil.tar.gz"
     with tarfile.open(evil, "w:gz") as tar:
