@@ -213,12 +213,18 @@ def summarize(res: dict, in_mp: float, scale: int, n: int) -> dict:
             per_img_mp = out_mp / n
             out["steady_interval_s"] = round(med, 2)
             out["steady_mps"] = round(per_img_mp / med, 2) if med else None
-        # fast-start switch: first completion at the production tile
+        # fast-start switch: first completion at the production tile.
+        # If the run never left the fast-start tile (short job, deferred
+        # packed stage, loaded window), say so instead of aliasing
+        # switch_s to the first image's time.
         prod = comps[-1][3]
-        sw = next((c for c in comps if c[3] == prod), None)
-        if sw is not None and prod:
+        if prod:
             out["production_tile"] = prod
-            out["switch_s"] = sw[0]
+            if prod != comps[0][3]:
+                sw = next(c for c in comps if c[3] == prod)
+                out["switch_s"] = sw[0]
+            else:
+                out["switch_s"] = None  # no mid-run tile switch observed
         out["total_file_mb"] = round(sum(c[2] for c in comps) / 1e6, 1)
     return out
 
