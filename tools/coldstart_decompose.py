@@ -134,7 +134,7 @@ def main() -> int:
         tl, al = eng._extract_chunk(
             padded, alpha, imgs[k], xs[k], ys[k], ph, pw, hn, wn, False
         )
-        u8 = comp(tl, al)
+        u8 = comp(eng._params, tl, al)
         out_buf = eng._scatter_chunk(out_buf, u8, imgs[k], xs[k], ys[k])
 
     t0 = time.perf_counter()
