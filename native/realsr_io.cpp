@@ -214,6 +214,19 @@ void png_put_u32(std::vector<unsigned char>& out, uint32_t v) {
   out.push_back(v & 0xff);
 }
 
+// zlib's crc32/adler32 take uInt lengths: feed large buffers in bounded
+// pieces or the cast silently truncates at 4 GiB and the stored checksum
+// is computed over the wrong length (a 32768x32768 RGBA output's
+// filtered stream is ~4.3 GiB).
+constexpr size_t kZPiece = 1u << 30;
+
+uLong crc32_big(uLong crc, const unsigned char* data, size_t len) {
+  for (size_t off = 0; off < len; off += kZPiece)
+    crc = crc32(crc, data + off,
+                static_cast<uInt>(std::min(kZPiece, len - off)));
+  return crc;
+}
+
 void png_put_chunk(std::vector<unsigned char>& out, const char tag[4],
                    const unsigned char* data, size_t len) {
   png_put_u32(out, static_cast<uint32_t>(len));
@@ -221,7 +234,7 @@ void png_put_chunk(std::vector<unsigned char>& out, const char tag[4],
   out.insert(out.end(), tag, tag + 4);
   out.insert(out.end(), data, data + len);
   uint32_t crc = static_cast<uint32_t>(
-      crc32(0L, out.data() + tag_at, static_cast<uInt>(4 + len)));
+      crc32_big(0L, out.data() + tag_at, 4 + len));
   png_put_u32(out, crc);
 }
 
@@ -230,6 +243,7 @@ void png_put_chunk(std::vector<unsigned char>& out, const char tag[4],
 bool png_deflate_strip(const unsigned char* data, size_t len, bool last,
                        int level, int strategy,
                        std::vector<unsigned char>& out) {
+  if (len > 0xffffffffu) return false;  // uInt avail_in would truncate
   z_stream zs;
   std::memset(&zs, 0, sizeof(zs));
   if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, strategy) != Z_OK)
@@ -297,8 +311,10 @@ int encode_png(const char* path, int w, int h, int c,
   for (size_t i = 0; i < nstrips; i++)
     if (!oks[i]) return 0;
 
-  uint32_t adler = static_cast<uint32_t>(
-      adler32(1L, filt.data(), static_cast<uInt>(filt.size())));
+  uLong adler = adler32(0L, Z_NULL, 0);  // = 1
+  for (size_t off = 0; off < filt.size(); off += kZPiece)
+    adler = adler32(adler, filt.data() + off,
+                    static_cast<uInt>(std::min(kZPiece, filt.size() - off)));
 
   static const int color_type[5] = {0, 0, 4, 2, 6};  // gray/LA/RGB/RGBA
   std::vector<unsigned char> out;
@@ -322,8 +338,17 @@ int encode_png(const char* path, int w, int h, int c,
   idat.push_back(0x78);
   idat.push_back(0x01);
   for (const auto& p : parts) idat.insert(idat.end(), p.begin(), p.end());
-  png_put_u32(idat, adler);
-  png_put_chunk(out, "IDAT", idat.data(), idat.size());
+  png_put_u32(idat, static_cast<uint32_t>(adler));
+  // the PNG chunk length field is 31-bit: emit the zlib stream as
+  // multiple consecutive IDAT chunks when it is large (decoders
+  // concatenate them; incompressible content at level 1 can exceed
+  // 4 GiB for very large outputs)
+  size_t off = 0;
+  do {
+    size_t n = std::min(kZPiece, idat.size() - off);
+    png_put_chunk(out, "IDAT", idat.data() + off, n);
+    off += n;
+  } while (off < idat.size());
   png_put_chunk(out, "IEND", nullptr, 0);
 
   FILE* fp = std::fopen(path, "wb");

@@ -718,8 +718,15 @@ class RealSR:
         # documented cross-program noise class (BASELINE.md round-4
         # deployment note); pass an explicit -t for bit-reproducibility
         # (explicit-tile runs never spawn these threads).
+        # Env-forced modes (REALSR_TPU_PACKED_TAIL set: pinned packed-
+        # foreground or fully off) compile exactly the foreground
+        # formulation in ONE stage — no interleaved stage, no deferral
+        # (load() comment: "the staged threads compile exactly the
+        # foreground formulation, no upgrade stage"). Staging applies
+        # only to the default background-upgrade path, where
+        # _packed_upgrade is True and ambient flags are off.
         staged = bool(
-            (self._packed_upgrade or (_R.PACKED_TAIL and _R.PACKED_TAIL_KERNEL))
+            self._packed_upgrade
             and min(ph, pw) >= _R.PACKED_TAIL_MIN_SIDE
         )
 
@@ -908,6 +915,14 @@ class RealSR:
             lows = self._lower_image_programs(
                 w, h, c, n_img, tilesize, serving=False
             )
+            if not self.config.compilation_cache:
+                # the glue (prep/extract/scatter) warms THROUGH the
+                # persistent cache — the dispatch loop's jit re-traces and
+                # deserializes the cached binary. Without a cache those
+                # compiles can't be reused, so warming them would compile
+                # each program twice; keep only the compute programs,
+                # which dispatch calls directly from the AOT table.
+                lows = [l for l in lows if isinstance(l, tuple)]
             with self._bg_lock:
                 have = set(self._aot_compute)
             lows = [
@@ -995,7 +1010,17 @@ class RealSR:
                     )
                 finally:
                     _R.PACKED_TAIL, _R.PACKED_TAIL_KERNEL = old
-            lows.append(((ph, pw, bsz, self.tta_mode, with_alpha), low))
+            # third element: does this program OVERWRITE an existing AOT
+            # entry? The packed formulation is the serving-grade upgrade
+            # and always wins; interleaved lowers (ramp seeds,
+            # _warm_first_dispatch) only fill an empty slot — without the
+            # priority, precompile(fast_start_ramp=True)'s concurrent
+            # _compile_all raced both formulations under the same key
+            # (last-writer-wins) and could leave a serving process
+            # permanently on the slower interleaved program.
+            lows.append(
+                ((ph, pw, bsz, self.tta_mode, with_alpha), low, want_packed)
+            )
         return lows
 
     def _compile_all(self, lowereds) -> int:
@@ -1007,11 +1032,19 @@ class RealSR:
         no jit-cache or persistent-cache round-trip after precompile())."""
 
         def one(item):
-            key, low = item if isinstance(item, tuple) else (None, item)
+            if isinstance(item, tuple):
+                key, low, overwrite = item
+            else:
+                key, low, overwrite = None, item, False
             comp = low.compile()
             if key is not None:
                 with self._bg_lock:
-                    self._aot_compute[key] = comp
+                    if overwrite:
+                        self._aot_compute[key] = comp
+                    else:
+                        # never downgrade a packed entry (bg upgrade or a
+                        # concurrent serving=True lower of the same key)
+                        self._aot_compute.setdefault(key, comp)
 
         if len(lowereds) > 1:
             import concurrent.futures as cf
@@ -1530,7 +1563,13 @@ def _enable_compilation_cache() -> None:
         path = os.path.join(base, fp)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.0, not the jax default 1.0: the sub-second glue programs
+        # (extract ~0.8 s) must round-trip the cache or
+        # _warm_first_dispatch's concurrent glue compiles are wasted —
+        # the dispatch loop's jit would silently recompile them (code
+        # review round 5). An inference cache full of small entries is
+        # cheap; correctness of reuse is not.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         # By default jax points the XLA:GPU kernel/autotune sub-caches
         # INSIDE the cache dir and those absolute paths are hashed into
         # every cache key — so entries only hit if the cache base never

@@ -596,7 +596,10 @@ def test_fast_start_staged_tail_compile(tiny_model_dir, capsys):
 
     eng = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
     eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
-    R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = True, 2  # autouse fixture restores
+    # simulate the round-5 DEFAULT upgrade path: ambient module flags OFF
+    # (foreground traces interleaved), packed exists only as the staged
+    # background upgrade
+    eng._packed_upgrade = True
 
     events = []
 
@@ -637,15 +640,60 @@ def test_fast_start_staged_tail_compile(tiny_model_dir, capsys):
     eng._compute_chunk = FakeJit(fail_packed=False)
     eng._spawn_bg_compile(("k2",), dims, 3)
     assert wait_for(("k2",), ("packed",))
-    # both stages traced, interleaved first, and the flags were restored
+    # both stages traced, interleaved first, and the ambient flags stayed
+    # OFF (the upgrade flips them only inside its own trace)
     assert events[:2] == [("lower", False), ("lower", True)]
-    assert R.PACKED_TAIL and R.PACKED_TAIL_KERNEL == 2
-    # below the staging side: single unstaged compile
+    assert not R.PACKED_TAIL and not R.PACKED_TAIL_KERNEL
+    # below the packed kernel's minimum side: single unstaged compile of
+    # the foreground (interleaved) formulation
     events.clear()
     eng._compute_chunk = FakeJit(fail_packed=False)
     eng._spawn_bg_compile(("k3",), (84, 84, 64, 64, 2), 3)
-    assert wait_for(("k3",), ("packed",))
-    assert events == [("lower", True)]
+    assert wait_for(("k3",), ("interleaved",))
+    assert events == [("lower", False)]
+
+
+def test_env_pinned_packed_mode_is_single_stage(tiny_model_dir):
+    """REALSR_TPU_PACKED_TAIL=3 (env-pinned packed foreground) must compile
+    exactly the pinned formulation in ONE stage: no interleaved stage, and
+    no 16-image packed deferral — the pin is operator intent for a serving
+    process (code review round 5: the old staged condition keyed on the
+    ambient module flags, so a pinned run first served interleaved and
+    then silently ignored the pin for jobs shorter than the deferral)."""
+    import time
+
+    from realsr_tpu.models import rrdbnet as R
+
+    eng = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
+    eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+    # env-pinned mode: ambient flags ON, no background-upgrade staging
+    R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = True, 2  # autouse fixture restores
+    eng._packed_upgrade = False
+
+    events = []
+
+    class FakeJit:
+        def lower(self, *a, **k):
+            events.append(R.PACKED_TAIL)
+
+            class L:
+                def compile(_):
+                    return ("packed" if events[-1] else "interleaved",)
+
+            return L()
+
+    eng._first_dispatch_done.set()
+    # deferral NOT released: a pinned compile must not wait for it
+    assert not eng._packed_go.is_set()
+    eng._compute_chunk = FakeJit()
+    eng._spawn_bg_compile(("k1",), (148, 148, 128, 128, 2), 3)
+    for _ in range(200):
+        with eng._bg_lock:
+            if eng._aot_compute.get(("k1",)) == ("packed",):
+                break
+        time.sleep(0.02)
+    assert eng._aot_compute.get(("k1",)) == ("packed",)
+    assert events == [True], "expected ONE packed-formulation trace"
 
 
 def test_precompile_fast_start_ramp_wiring(tiny_model_dir, monkeypatch):
@@ -802,7 +850,10 @@ def test_packed_tail_compile_deferred_until_long_lived(tiny_model_dir):
 
     eng = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
     eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
-    R.PACKED_TAIL, R.PACKED_TAIL_KERNEL = True, 2  # autouse fixture restores
+    # the deferral applies to the DEFAULT background-upgrade path only
+    # (env-pinned modes are single-stage and never wait, see
+    # test_env_pinned_packed_mode_is_single_stage)
+    eng._packed_upgrade = True
 
     events = []
 
@@ -942,6 +993,63 @@ def test_precompile_lowers_packed_directly(tiny_model_dir):
     eng._lower_chunk_programs(padded, alpha, out, 2, 84, 84, 3)
     assert events == [(True, 2), (False, 0)]
     assert not R.PACKED_TAIL and not R.PACKED_TAIL_KERNEL
+
+
+def test_compile_all_packed_formulation_wins(tiny_model_dir):
+    """precompile(fast_start_ramp=True) lowers BOTH tail formulations of
+    the production-tile compute key (the packed serving set AND the
+    interleaved post-switch foreground set, for the seed cache).
+    _compile_all runs them concurrently; whichever finishes last, the
+    packed program must own the AOT slot (code review round 5:
+    last-writer-wins could leave a serving process permanently on the
+    interleaved program, with no upgrade thread to rescue it)."""
+    import jax as _jax
+    import numpy as _np
+
+    eng = RealSR(gpuid=-1, config=EngineConfig(storage="float32"))
+    eng.load(tiny_model_dir + "/x4.param", tiny_model_dir + "/x4.bin")
+
+    class Low:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def compile(self):
+            return (self.tag,)
+
+    key = ("k",)
+    # interleaved lands AFTER packed: must not downgrade
+    eng._compile_all([(key, Low("packed"), True)])
+    eng._compile_all([(key, Low("interleaved"), False)])
+    assert eng._aot_compute[key] == ("packed",)
+    # packed lands after interleaved: must overwrite
+    eng._aot_compute.clear()
+    eng._compile_all([(key, Low("interleaved"), False)])
+    eng._compile_all([(key, Low("packed"), True)])
+    assert eng._aot_compute[key] == ("packed",)
+
+    # and the wiring: serving=True marks the packed-shaped bucket's
+    # compute program overwrite=True, serving=False marks it False
+    eng._packed_upgrade = True
+
+    class FakeJit:
+        def lower(self, *a, **k):
+            class L:
+                def compile(_):
+                    return ("prog",)
+
+            return L()
+
+    eng._compute_chunk = FakeJit()
+    S = _jax.ShapeDtypeStruct
+    padded = S((1, 200, 200, 3), eng.storage_dtype)
+    alpha = S((1, 180, 180, 0), _np.float32)
+    out = S((1, 720, 720, 3), _np.uint8)
+    for serving, want in ((True, True), (False, False)):
+        lows = eng._lower_chunk_programs(
+            padded, alpha, out, 2, 148, 148, 3, serving=serving
+        )
+        keyed = [l for l in lows if isinstance(l, tuple)]
+        assert len(keyed) == 1 and keyed[0][2] is want
 
 
 def test_compute_program_is_weight_independent(tiny_model_dir, tmp_path):

@@ -179,3 +179,29 @@ def test_install_refuses_path_traversal(tmp_path):
     assert r.returncode != 0
     assert "unsafe member path" in (r.stdout + r.stderr)
     assert not (tmp_path / "outside").exists()
+
+
+def test_install_refuses_symlink_members(tmp_path):
+    """A symlink member passes a realpath check at inspection time (its
+    target does not exist yet) but would redirect a later member's write
+    outside the base on the py<3.12 plain-extractall fallback — refuse
+    links outright (code review round 5)."""
+    evil = tmp_path / "evil_link.tar.gz"
+    outside = tmp_path / "outside_dir"
+    outside.mkdir()
+    with tarfile.open(evil, "w:gz") as tar:
+        mdata = json.dumps({"fingerprint": "aaaaaaaaaa"}).encode()
+        mi = tarfile.TarInfo("aaaaaaaaaa/seed_cache_manifest.json")
+        mi.size = len(mdata)
+        tar.addfile(mi, io.BytesIO(mdata))
+        li = tarfile.TarInfo("aaaaaaaaaa/x")
+        li.type = tarfile.SYMTYPE
+        li.linkname = str(outside)
+        tar.addfile(li)
+        ti = tarfile.TarInfo("aaaaaaaaaa/x/payload")
+        ti.size = 1
+        tar.addfile(ti, io.BytesIO(b"x"))
+    r = _run(["install", str(evil), "--cache-base", str(tmp_path / "b")])
+    assert r.returncode != 0
+    assert "non-file member" in (r.stdout + r.stderr)
+    assert not (outside / "payload").exists()

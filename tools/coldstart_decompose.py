@@ -68,6 +68,18 @@ def main() -> int:
     tile = tile or FAST_START_TILE  # what a fast-start first image runs
     pad = eng.prepadding
     plan = plan_tiles(size, size, tile, pad)
+    if len(plan.buckets) != 1:
+        # this tool decomposes the SINGLE-bucket case (the default
+        # 1024/64 grid); dispatching edge tiles through the interior
+        # bucket's programs would time the wrong shapes and compute
+        # garbage. Pick a size divisible by the tile.
+        print(
+            f"coldstart_decompose: {size}x{size} at tile {tile} plans "
+            f"{len(plan.buckets)} tile buckets; this tool requires a "
+            "single-bucket grid (size divisible by tile).",
+            file=sys.stderr,
+        )
+        return 2
     (ph, pw), idxs = next(iter(plan.buckets.items()))
     bsz, _ = eng._chunking(tile, len(idxs))
     hn, wn = ph - 2 * pad, pw - 2 * pad

@@ -39,6 +39,9 @@ def main() -> int:
     seed = None
     if "--seed" in argv:
         i = argv.index("--seed")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("usage: --seed TARBALL (path required)", file=sys.stderr)
+            return 2
         seed = argv[i + 1]
         del argv[i:i + 2]
     args = [a for a in argv if not a.startswith("--")]

@@ -69,8 +69,17 @@ def run_python(indir, outdir, args, extra_env) -> dict:
         os.environ[k] = v
     os.environ.setdefault("REALSR_TPU_TRACE", "1")
 
+    import collections
+
     completions = []  # (t_done, outpath, bytes, tilesize)
-    tiles = {"last": 0}
+    # tile attribution rides a FIFO, not a shared "last" cell: the save
+    # worker encodes image k while the proc thread is already processing
+    # k+1 (pipeline overlap), so reading a last-written cell at encode
+    # time could attribute k the tile of k+1 — corrupting exactly the
+    # fast-start switch metric this tool measures. Encode calls consume
+    # the save queue in process order, so pairing the k-th encode with
+    # the k-th process is exact.
+    tile_q = collections.deque()
 
     import realsr_tpu.cli as cli
     import realsr_tpu.pipeline as pipeline
@@ -84,19 +93,20 @@ def run_python(indir, outdir, args, extra_env) -> dict:
 
     def rec_process(self, image, progress_cb=None):
         out = real_process(self, image, progress_cb)
-        tiles["last"] = self.last_tilesize
+        tile_q.append(self.last_tilesize)
         return out
 
     def rec_banded(self, image, progress_cb=None, band_tile_rows=0):
         out = real_banded(self, image, progress_cb, band_tile_rows)
-        tiles["last"] = self.last_tilesize
+        tile_q.append(self.last_tilesize)
         return out
 
     def rec_encode(path, image, fmt=None):
+        tile = tile_q.popleft() if tile_q else 0
         ok = real_encode(path, image, fmt)
         if ok:
             completions.append(
-                (time.perf_counter(), path, os.path.getsize(path), tiles["last"])
+                (time.perf_counter(), path, os.path.getsize(path), tile)
             )
         return ok
 
@@ -172,6 +182,19 @@ def run_native(indir, outdir, args, extra_env) -> dict:
     wall = time.perf_counter() - t0
     stop.set()
     th.join(timeout=2)
+    # The process has exited, so every output file is final. Record any
+    # file the two-stable-polls heuristic hadn't confirmed yet — the
+    # LAST image is systematically in that state (written immediately
+    # before exit), and dropping it skewed steady_interval/total_file_mb
+    # while n_images still reported the full count.
+    done = {name for _, name, _, _ in completions}
+    try:
+        for e in os.scandir(outdir):
+            sz = e.stat().st_size
+            if e.name not in done and sz > 0:
+                completions.append((t0 + wall, e.name, sz, 0))
+    except OSError:
+        pass
     stages = {}
     for line in proc.stderr.splitlines():
         parts = line.split()

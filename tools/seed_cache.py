@@ -205,14 +205,23 @@ def cmd_install(args) -> int:
     base = _cache_base(args.cache_base)
     os.makedirs(base, exist_ok=True)
     with tarfile.open(args.tarball, "r:gz") as tar:
-        # refuse path traversal: every member must stay under the base
+        # refuse path traversal: every member must stay under the base,
+        # and only regular files/dirs are allowed — a symlink member
+        # passes the realpath check at inspection time (its target does
+        # not exist yet) but would redirect a LATER member's write
+        # outside the base on the py<3.12 plain-extractall fallback.
+        # A seed cache has no business containing links of any kind.
         for m in tar.getmembers():
+            if not (m.isreg() or m.isdir()):
+                raise SystemExit(
+                    f"refusing non-file member: {m.name} ({m.type!r})"
+                )
             dest = os.path.realpath(os.path.join(base, m.name))
             if not dest.startswith(os.path.realpath(base) + os.sep):
                 raise SystemExit(f"refusing unsafe member path: {m.name}")
         try:
             tar.extractall(base, filter="data")
-        except TypeError:  # Python < 3.12: manual check above suffices
+        except TypeError:  # Python < 3.12: manual checks above suffice
             tar.extractall(base)
     fp, feats = _fingerprint()
     match = fp == manifest.get("fingerprint")
